@@ -1,0 +1,159 @@
+"""Transformer block library (flax.linen).
+
+TPU-native equivalents of the croco block library the reference imports
+(`croco.models.blocks`: Block / CrossAttention / Mlp / DropPath —
+/root/reference/src/panst3r/model/blocks.py:7, input_mixer.py:5) plus the
+reference's own `CrossonlyDecoderBlock` (blocks.py:9-35) and the decoder
+block with memory cross-attention needed by the MUSt3R-style decoder.
+
+All attention goes through ops.attention.flash_attention (Pallas on TPU).
+RoPE is applied functionally from integer (y, x) patch positions.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from panst3r_tpu.ops.attention import flash_attention
+from panst3r_tpu.ops.rope import apply_rope_2d
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    B, N, C = x.shape
+    return x.reshape(B, N, num_heads, C // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, N, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+
+class Mlp(nn.Module):
+    hidden_features: int
+    out_features: Optional[int] = None
+    act: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x):
+        out = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(out, name="fc2")(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Self-attention with optional fused 2D RoPE (cuRoPE equivalent)."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    rope_base: Optional[float] = 100.0
+
+    @nn.compact
+    def __call__(self, x, pos=None, mask=None):
+        C = x.shape[-1]
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        if pos is not None and self.rope_base is not None:
+            q = apply_rope_2d(q, pos, self.rope_base)
+            k = apply_rope_2d(k, pos, self.rope_base)
+        out = flash_attention(q, k, v, mask=mask)
+        return nn.Dense(C, name="proj")(_merge_heads(out))
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention; RoPE on q (query pos) and k (key pos) if given."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    rope_base: Optional[float] = 100.0
+
+    @nn.compact
+    def __call__(self, x, key, value, qpos=None, kpos=None,
+                 bias=None, mask=None):
+        C = x.shape[-1]
+        q = nn.Dense(C, use_bias=self.qkv_bias, name="projq")(x)
+        k = nn.Dense(C, use_bias=self.qkv_bias, name="projk")(key)
+        v = nn.Dense(C, use_bias=self.qkv_bias, name="projv")(value)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        if self.rope_base is not None:
+            if qpos is not None:
+                q = apply_rope_2d(q, qpos, self.rope_base)
+            if kpos is not None:
+                k = apply_rope_2d(k, kpos, self.rope_base)
+        out = flash_attention(q, k, v, bias=bias, mask=mask)
+        return nn.Dense(C, name="proj")(_merge_heads(out))
+
+
+class Block(nn.Module):
+    """Pre-norm ViT block: x + attn(ln(x)); x + mlp(ln(x)).  croco `Block`."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    rope_base: Optional[float] = 100.0
+
+    @nn.compact
+    def __call__(self, x, pos=None):
+        x = x + SelfAttention(self.num_heads, self.qkv_bias, self.rope_base,
+                              name="attn")(nn.LayerNorm(name="norm1")(x), pos)
+        x = x + Mlp(int(x.shape[-1] * self.mlp_ratio),
+                    name="mlp")(nn.LayerNorm(name="norm2")(x))
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Self-attn + memory cross-attn + MLP (pre-norm residual).
+
+    The memory bank for this layer is the (normalized) key/value token set of
+    all previously injected views (`memory_mode='norm_y'`, reference
+    configs/base.yaml:15) — normalization is applied before banking, see
+    models/decoder.py.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    rope_base: Optional[float] = 100.0
+
+    @nn.compact
+    def __call__(self, x, xpos, mem_y, mem_pos, mem_bias=None):
+        """x: (B, N, C) current view tokens; mem_y: (B, M, C) pre-normalized
+        memory tokens for this layer; mem_pos: (B, M, 2); mem_bias: additive
+        attention bias (B, 1, 1, M) masking invalid memory slots."""
+        x = x + SelfAttention(self.num_heads, self.qkv_bias, self.rope_base,
+                              name="attn")(nn.LayerNorm(name="norm1")(x), xpos)
+        x = x + CrossAttention(self.num_heads, self.qkv_bias, self.rope_base,
+                               name="cross_attn")(
+            nn.LayerNorm(name="norm2")(x), mem_y, mem_y,
+            qpos=xpos, kpos=mem_pos, bias=mem_bias)
+        x = x + Mlp(int(x.shape[-1] * self.mlp_ratio),
+                    name="mlp")(nn.LayerNorm(name="norm3")(x))
+        return x
+
+
+class CrossonlyDecoderBlock(nn.Module):
+    """Cross-attn + MLP residual block, no self-attn; norm on memory.
+
+    Reference: src/panst3r/model/blocks.py:9-35 (used by the LoftUp
+    upscaler).  Batch drop-path is a training-time stochastic skip; we keep
+    the deterministic path (drop_path=0 in all reference configs).
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    rope_base: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, y, xpos=None, ypos=None):
+        y_ = nn.LayerNorm(name="norm_y")(y)
+        x = x + CrossAttention(self.num_heads, self.qkv_bias, self.rope_base,
+                               name="cross_attn")(
+            nn.LayerNorm(name="norm2")(x), y_, y_, qpos=xpos, kpos=ypos)
+        x = x + Mlp(int(x.shape[-1] * self.mlp_ratio),
+                    name="mlp")(nn.LayerNorm(name="norm3")(x))
+        return x, y

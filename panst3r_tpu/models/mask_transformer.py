@@ -1,0 +1,295 @@
+"""Mask2Former-style multi-view query decoder (panoptic head core).
+
+TPU-native equivalent of /root/reference/src/panst3r/model/mask_transformer.py
+(540 LoC).  Key semantics preserved:
+
+- 200 learnable queries + query PE; `dec_layers` rounds of [masked
+  cross-attention over the **concatenated multi-view** token axis
+  (mask_transformer.py:142-145), query self-attention, FFN], post-norm
+  residual layers like torch's nn.MultiheadAttention stack (:309-469).
+- Open-vocab classification: `lang_embed` → cosine similarity against text
+  embeddings × exp(logit_scale) (:224-228).
+- Mask prediction: einsum(query mask embeddings, per-view mask features)
+  (:279-288 "bqc,bnchw->bnqhw" — here channels-last "bqc,bvhwc->bvqhw").
+- Attention masking from the previous layer's mask prediction: bilinear
+  resize to the token grid, sigmoid < 0.5 → blocked, and the critical
+  "fully-blocked row → unblock" fixup (:172) — implemented as additive bias
+  with stop_gradient (:271 .detach()).
+- Deep-supervision aux outputs per layer (:200-212); optional two-stage
+  top-k query selection (:85-104); prediction heads reusable standalone for
+  memory-query decoding of non-keyframes (:215-277, via panoptic_decoder).
+
+The multi-view joint cross-attention (KV length = V·gh·gw) is the hot op —
+it runs through the Pallas flash kernel with the per-head additive bias.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from panst3r_tpu.core import config as cfg
+from panst3r_tpu.ops.attention import flash_attention
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def sine_position_embedding(gh: int, gw: int, dim: int,
+                            temperature: float = 10000.0) -> jnp.ndarray:
+    """2D sine PE, normalized — reference PositionEmbeddingSine (:487-527).
+
+    Returns (gh*gw, 2*dim) with y-features first (reference :526 cat order).
+    """
+    scale = 2 * math.pi
+    eps = 1e-6
+    y = (jnp.arange(gh, dtype=jnp.float32) + 1) / (gh + eps) * scale
+    x = (jnp.arange(gw, dtype=jnp.float32) + 1) / (gw + eps) * scale
+    dim_t = temperature ** (2 * (jnp.arange(dim) // 2) / dim)
+
+    def encode(v):  # (n,) → (n, dim) interleaved sin/cos
+        ang = v[:, None] / dim_t
+        return jnp.stack([jnp.sin(ang[:, 0::2]), jnp.cos(ang[:, 1::2])],
+                         axis=-1).reshape(v.shape[0], -1)
+
+    pe_y = jnp.repeat(encode(y)[:, None], gw, axis=1)   # (gh, gw, dim)
+    pe_x = jnp.repeat(encode(x)[None], gh, axis=0)      # (gh, gw, dim)
+    return jnp.concatenate([pe_y, pe_x], -1).reshape(gh * gw, 2 * dim)
+
+
+def pe_with_portrait(gh: int, gw: int, dim: int,
+                     portrait: jnp.ndarray) -> jnp.ndarray:
+    """Per-view PE honoring the portrait flag (reference :106-119).
+
+    portrait: (B, V) bool.  Landscape views use PE of the (gh, gw) grid;
+    portrait views use the PE of the transposed (gw, gh) grid laid back out
+    in storage (landscape) order — geometrically consistent with the
+    landscape-canonical token layout.  Returns (B, V, gh*gw, 2*dim).
+    """
+    pe_land = sine_position_embedding(gh, gw, dim)
+    pe_port = sine_position_embedding(gw, gh, dim).reshape(gw, gh, -1)
+    pe_port = pe_port.transpose(1, 0, 2).reshape(gh * gw, -1)
+    return jnp.where(portrait[..., None, None], pe_port[None, None],
+                     pe_land[None, None])
+
+
+class _MHA(nn.Module):
+    """torch-style nn.MultiheadAttention (separate q/k/v proj + out-proj)."""
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, bias=None):
+        C = q.shape[-1]
+        H = self.num_heads
+
+        def heads(x):
+            B, N, _ = x.shape
+            return x.reshape(B, N, H, C // H).transpose(0, 2, 1, 3)
+
+        qp = nn.Dense(C, name="q_proj")(q)
+        kp = nn.Dense(C, name="k_proj")(k)
+        vp = nn.Dense(C, name="v_proj")(v)
+        out = flash_attention(heads(qp), heads(kp), heads(vp), bias=bias)
+        B, _, N, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, name="out_proj")(out)
+
+
+class _QueryMLP(nn.Module):
+    """3-layer ReLU MLP (reference MLP :472-484)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden, name="fc0")(x))
+        x = nn.relu(nn.Dense(self.hidden, name="fc1")(x))
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+@cfg.register
+@dataclasses.dataclass(frozen=True)
+class MaskTransformerConfig:
+    hidden_dim: int = 768
+    ff_dim: int = 2048
+    mask_dim: int = 256
+    num_queries: int = 200
+    num_heads: int = 8
+    dec_layers: int = 6
+    lang_dim: int = 768
+    fpn_dims: tuple = (768,)
+    two_stage: bool = False
+
+    @property
+    def num_feature_levels(self) -> int:
+        return len(self.fpn_dims)
+
+
+class MaskTransformer(nn.Module):
+    config: MaskTransformerConfig = MaskTransformerConfig()
+
+    def setup(self):
+        c = self.config
+        self.decoder_norm = nn.LayerNorm()
+        self.lang_embed = nn.Dense(c.lang_dim)
+        self.cls_logit_scale = self.param("cls_logit_scale",
+                                          nn.initializers.ones, ())
+        self.mask_embed = _QueryMLP(c.hidden_dim, c.mask_dim)
+        self.level_embed = self.param("level_embed",
+                                      nn.initializers.normal(1.0),
+                                      (c.num_feature_levels, c.hidden_dim))
+        self.input_proj = [
+            nn.Conv(c.hidden_dim, (1, 1), name=f"input_proj_{i}")
+            if d != c.hidden_dim else None
+            for i, d in enumerate(c.fpn_dims)]
+        if not c.two_stage:
+            self.query_feat = self.param("query_feat",
+                                         nn.initializers.normal(1.0),
+                                         (c.num_queries, c.hidden_dim))
+            self.query_pe = self.param("query_embed",
+                                       nn.initializers.normal(1.0),
+                                       (c.num_queries, c.hidden_dim))
+        self.cross_attn_layers = [
+            _MHA(c.num_heads, name=f"cross_attn_{i}")
+            for i in range(c.dec_layers)]
+        self.cross_norms = [nn.LayerNorm(name=f"cross_norm_{i}")
+                            for i in range(c.dec_layers)]
+        self.self_attn_layers = [
+            _MHA(c.num_heads, name=f"self_attn_{i}")
+            for i in range(c.dec_layers)]
+        self.self_norms = [nn.LayerNorm(name=f"self_norm_{i}")
+                           for i in range(c.dec_layers)]
+        self.ffn_fc1 = [nn.Dense(c.ff_dim, name=f"ffn_fc1_{i}")
+                        for i in range(c.dec_layers)]
+        self.ffn_fc2 = [nn.Dense(c.hidden_dim, name=f"ffn_fc2_{i}")
+                        for i in range(c.dec_layers)]
+        self.ffn_norms = [nn.LayerNorm(name=f"ffn_norm_{i}")
+                          for i in range(c.dec_layers)]
+
+    def _class_logits(self, dec_out, cls_embeddings):
+        lang = self.lang_embed(dec_out)
+        lang = lang / (jnp.linalg.norm(lang, axis=-1, keepdims=True) + 1e-7)
+        return jnp.exp(self.cls_logit_scale) * jnp.einsum(
+            "bqc,nc->bqn", lang, cls_embeddings)
+
+    def prediction_heads(self, output, mask_feats, cls_embeddings,
+                         attn_grid: Optional[tuple[int, int]] = None):
+        """output: (B, Q, C); mask_feats: (B, V, Hm, Wm, mask_dim).
+
+        Returns (outputs_class (B, Q, num_cls),
+                 outputs_mask (B, V, Q, Hm, Wm),
+                 attn_bias (B, heads, Q, V*gh*gw) or None).
+        Reference forward_prediction_heads (:215-277).
+        """
+        c = self.config
+        dec_out = self.decoder_norm(output)
+        outputs_class = self._class_logits(dec_out, cls_embeddings)
+        mask_embed = self.mask_embed(dec_out)
+        outputs_mask = jnp.einsum("bqc,bvhwc->bvqhw", mask_embed, mask_feats)
+
+        attn_bias = None
+        if attn_grid is not None:
+            B, V, Q, Hm, Wm = outputs_mask.shape
+            gh, gw = attn_grid
+            am = jax.image.resize(outputs_mask, (B, V, Q, gh, gw),
+                                  method="bilinear")
+            blocked = jax.nn.sigmoid(am) < 0.5          # True = blocked (:272)
+            blocked = blocked.transpose(0, 2, 1, 3, 4).reshape(
+                B, Q, V * gh * gw)
+            # Fully-blocked rows attend everywhere (:172).
+            all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
+            blocked = jnp.where(all_blocked, False, blocked)
+            attn_bias = jnp.where(blocked, _NEG_INF, 0.0)[:, None]
+            attn_bias = jax.lax.stop_gradient(jnp.broadcast_to(
+                attn_bias, (B, c.num_heads, Q, V * gh * gw)))
+        return outputs_class, outputs_mask, attn_bias
+
+    def decode_with_queries(self, memory_queries, mask_feats, cls_embeddings):
+        """Non-keyframe fast path: prediction heads only against frozen
+        keyframe queries (reference panoptic_decoder.py:68-76)."""
+        ocls, omask, _ = self.prediction_heads(memory_queries, mask_feats,
+                                               cls_embeddings, None)
+        return {"pred_logits": ocls, "pred_masks": omask,
+                "out_queries": memory_queries}
+
+    def __call__(self, fpn_f: Sequence[jnp.ndarray], mask_feats: jnp.ndarray,
+                 cls_embeddings: jnp.ndarray, portrait: jnp.ndarray,
+                 deep_supervision: bool = True):
+        """fpn_f: per-level (B, V, gh, gw, C); mask_feats:
+        (B, V, Hm, Wm, mask_dim); cls_embeddings: (num_cls, lang_dim);
+        portrait: (B, V) bool."""
+        c = self.config
+        assert len(fpn_f) == c.num_feature_levels
+
+        B, V, gh, gw, _ = fpn_f[0].shape
+        src, pos = [], []
+        for lvl, f in enumerate(fpn_f):
+            if self.input_proj[lvl] is not None:
+                f = self.input_proj[lvl](f)
+            src.append(f.reshape(B, V * gh * gw, c.hidden_dim)
+                       + self.level_embed[lvl])
+            pe = pe_with_portrait(gh, gw, c.hidden_dim // 2, portrait)
+            pos.append(pe.reshape(B, V * gh * gw, c.hidden_dim)
+                       .astype(f.dtype))
+
+        if c.two_stage:
+            output, query_embed = self._query_selection(src, pos,
+                                                        cls_embeddings)
+        else:
+            output = jnp.broadcast_to(self.query_feat[None],
+                                      (B, c.num_queries, c.hidden_dim))
+            query_embed = jnp.broadcast_to(self.query_pe[None],
+                                           (B, c.num_queries, c.hidden_dim))
+
+        ocls, omask, attn_bias = self.prediction_heads(
+            output, mask_feats, cls_embeddings, (gh, gw))
+        if c.two_stage:
+            output = jax.lax.stop_gradient(output)
+
+        pred_cls, pred_masks = [ocls], [omask]
+        for i in range(c.dec_layers):
+            lvl = i % c.num_feature_levels
+            # Masked cross-attention: queries ← multi-view tokens.
+            attn_out = self.cross_attn_layers[i](
+                output + query_embed, src[lvl] + pos[lvl], src[lvl],
+                bias=attn_bias)
+            output = self.cross_norms[i](output + attn_out)
+            # Self-attention over queries.
+            sa = self.self_attn_layers[i](
+                output + query_embed, output + query_embed, output)
+            output = self.self_norms[i](output + sa)
+            # FFN (post-norm).
+            h = self.ffn_fc2[i](nn.relu(self.ffn_fc1[i](output)))
+            output = self.ffn_norms[i](output + h)
+
+            ocls, omask, attn_bias = self.prediction_heads(
+                output, mask_feats, cls_embeddings, (gh, gw))
+            pred_cls.append(ocls)
+            pred_masks.append(omask)
+
+        out = {
+            "pred_logits": pred_cls[-1],
+            "pred_masks": pred_masks[-1],
+            "out_queries": jax.lax.stop_gradient(output),
+        }
+        if deep_supervision:
+            out["aux_outputs"] = [
+                {"pred_logits": a, "pred_masks": b}
+                for a, b in zip(pred_cls[:-1], pred_masks[:-1])]
+        return out
+
+    def _query_selection(self, src, pos, cls_embeddings):
+        """Two-stage top-k proposal selection (reference :85-104)."""
+        c = self.config
+        feats = jnp.concatenate(src, axis=1)       # (B, N, C)
+        pos_all = jnp.concatenate(pos, axis=1)
+        score = self._class_logits(self.decoder_norm(feats), cls_embeddings)
+        top = jax.lax.top_k(score.max(-1), c.num_queries)[1]  # (B, Q)
+        output = jnp.take_along_axis(feats, top[..., None], axis=1)
+        query_embed = jnp.take_along_axis(pos_all, top[..., None], axis=1)
+        return output, query_embed

@@ -1,0 +1,79 @@
+"""Attention entry points.
+
+Replaces the reference's two CUDA attention paths — xFormers
+`memory_efficient_attention` (toggled at /root/reference/train.py:139) and
+torch `nn.MultiheadAttention` (mask_transformer.py:314,372) — with a single
+API that dispatches between a pure-jnp reference implementation (CPU tests,
+small shapes, arbitrary masks) and a Pallas flash-attention kernel on TPU.
+
+Conventions: q (B, H, Nq, D), k/v (B, H, Nk, D); ``bias`` is additive in
+logits (broadcastable to (B, H, Nq, Nk)); ``mask`` is boolean with True =
+may attend (the *opposite* of torch's attn_mask — documented because the
+reference's mask-transformer semantics at mask_transformer.py:270-272 are
+"True = blocked"; callers here pre-invert).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("PANST3R_DISABLE_PALLAS", "0") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          bias: jnp.ndarray | None = None,
+                          mask: jnp.ndarray | None = None,
+                          scale: float | None = None) -> jnp.ndarray:
+    """Scaled dot-product attention with fp32 softmax accumulation."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    bias: jnp.ndarray | None = None,
+                    mask: jnp.ndarray | None = None,
+                    scale: float | None = None) -> jnp.ndarray:
+    """Fused attention: Pallas kernel on TPU, jnp reference elsewhere.
+
+    The Pallas path never materializes the (Nq, Nk) logits in HBM — this is
+    the TPU equivalent of the cuRoPE+xFormers fused path in the reference.
+    """
+    if _use_pallas():
+        from panst3r_tpu.ops.pallas.flash_attention import pallas_mha
+        try:
+            return pallas_mha(q, k, v, bias=bias, mask=mask, scale=scale)
+        except NotImplementedError:
+            pass
+    return dot_product_attention(q, k, v, bias=bias, mask=mask, scale=scale)
+
+
+def memory_mask_bias(valid: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive bias blocking invalid memory slots.
+
+    valid: (B, Nk) bool → (B, 1, 1, Nk) bias with -inf at invalid slots.
+    Used by the token-memory cross-attention (fixed-capacity memory banks,
+    see models/memory.py) — the validity mask plays the role of the
+    reference's dynamically-growing `mem_labels`
+    (/root/reference/src/panst3r/engine/must3r.py:76,107).
+    """
+    return jnp.where(valid, 0.0, _NEG_INF).astype(dtype)[:, None, None, :]

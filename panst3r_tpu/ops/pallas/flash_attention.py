@@ -1,0 +1,224 @@
+"""Pallas TPU flash attention.
+
+TPU-native replacement for the reference's CUDA attention stack (xFormers
+`memory_efficient_attention`, /root/reference/train.py:139, and cuRoPE fused
+rotary attention, README.md:67-71).  Online-softmax tiling: the (Nq, Nk)
+logit matrix never touches HBM; k/v stream through VMEM in blocks while a
+running (max, sum, acc) triple is carried in VMEM scratch.
+
+Two masking modes (both needed by the model family):
+- ``bias``: full additive bias (B, H, Nq, Nk) — the mask-transformer's
+  per-head query→token mask (reference mask_transformer.py:272).
+- ``kv_valid``: per-key validity (B, Nk) — the token-memory validity mask
+  (fixed-capacity memory banks; reference's growing `mem_labels`,
+  engine/must3r.py:76).
+
+The backward pass recomputes attention with the jnp reference formula under
+``jax.custom_vjp`` (correct, O(N) memory in HBM because XLA re-fuses it);
+a dedicated backward kernel is a planned optimization.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from panst3r_tpu.ops.attention import dot_product_attention
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, o_ref,
+            m_scr, l_scr, acc_scr, *, scale: float, nk_blocks: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)            # (bq, d)
+    k = k_ref[0].astype(jnp.float32)            # (bk, d)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    if kvalid_ref is not None:
+        valid = kvalid_ref[0] != 0               # (1, bk) int mask
+        s = jnp.where(valid, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]                        # (bq, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)   # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # Guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)=1.
+    safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
+    p = jnp.exp(s - safe_m)                      # (bq, bk)
+    p = jnp.where(s <= _NEG_INF / 2, 0.0, p)
+    alpha = jnp.exp(m_prev - safe_m)
+    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
+
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[...] * alpha + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[...] = acc
+
+    @pl.when(ik == nk_blocks - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)          # fully-masked rows → 0 out
+        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def _flash_fwd(q, k, v, bias, kv_valid, scale,
+               block_q: int = 256, block_k: int = 512):
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    dtype = q.dtype
+
+    block_q = min(block_q, _round_up(Nq, 128))
+    block_k = min(block_k, _round_up(Nk, 128))
+    Dp = _round_up(D, 128)
+    Nqp = _round_up(Nq, block_q)
+    Nkp = _round_up(Nk, block_k)
+
+    needs_kv_mask = Nkp != Nk
+    if needs_kv_mask and kv_valid is None and bias is None:
+        kv_valid = jnp.ones((B, Nk), jnp.bool_)
+
+    def pad(x, axis, target):
+        if x.shape[axis] == target:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, target - x.shape[axis])
+        return jnp.pad(x, cfg)
+
+    qf = pad(pad(q, 3, Dp), 2, Nqp).reshape(B * H, Nqp, Dp)
+    kf = pad(pad(k, 3, Dp), 2, Nkp).reshape(B * H, Nkp, Dp)
+    vf = pad(pad(v, 3, Dp), 2, Nkp).reshape(B * H, Nkp, Dp)
+
+    nq_blocks = Nqp // block_q
+    nk_blocks = Nkp // block_k
+    grid = (B * H, nq_blocks, nk_blocks)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, Dp), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, Dp), lambda b, i, j: (b, j, 0)),
+    ]
+    args = [qf, kf, vf]
+
+    if bias is not None:
+        bias_full = jnp.broadcast_to(bias, (B, H, Nq, Nk)).astype(jnp.float32)
+        bias_full = pad(pad(bias_full, 3, Nkp), 2, Nqp)
+        if Nkp != Nk:
+            neg = jnp.zeros((B, H, Nqp, Nkp), jnp.float32).at[..., Nk:].set(_NEG_INF)
+            bias_full = bias_full + neg
+        args.append(bias_full.reshape(B * H, Nqp, Nkp))
+        in_specs.append(
+            pl.BlockSpec((1, block_q, block_k), lambda b, i, j: (b, i, j)))
+        bias_in = True
+    else:
+        bias_in = False
+
+    if kv_valid is not None and bias is None:
+        kvm = pad(kv_valid.astype(jnp.int32), 1, Nkp)[:, None, :]  # (B,1,Nkp)
+        args.append(kvm)
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b, i, j, H=H: (b // H, 0, j)))
+        kvalid_in = True
+    else:
+        kvalid_in = False
+
+    def kernel(*refs):
+        idx = 3
+        bias_ref = refs[idx] if bias_in else None
+        idx += int(bias_in)
+        kvalid_ref = refs[idx] if kvalid_in else None
+        idx += int(kvalid_in)
+        o_ref = refs[idx]
+        m_scr, l_scr, acc_scr = refs[idx + 1:idx + 4]
+        _kernel(refs[0], refs[1], refs[2], bias_ref, kvalid_ref, o_ref,
+                m_scr, l_scr, acc_scr, scale=scale, nk_blocks=nk_blocks)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Nqp, Dp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Nq * Nk * D,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
+        ),
+    )(*args)
+
+    return out.reshape(B, H, Nqp, Dp)[:, :, :Nq, :D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _pallas_mha(q, k, v, bias, kv_valid, scale):
+    return _flash_fwd(q, k, v, bias, kv_valid, scale)
+
+
+def _mha_fwd(q, k, v, bias, kv_valid, scale):
+    out = _flash_fwd(q, k, v, bias, kv_valid, scale)
+    return out, (q, k, v, bias, kv_valid)
+
+
+def _mha_bwd(scale, res, g):
+    q, k, v, bias, kv_valid = res
+
+    def ref(q, k, v, bias):
+        mask = kv_valid[:, None, None, :] if kv_valid is not None else None
+        return dot_product_attention(q, k, v, bias=bias, mask=mask, scale=scale)
+
+    if bias is not None:
+        _, vjp = jax.vjp(ref, q, k, v, bias)
+        dq, dk, dv, db = vjp(g)
+    else:
+        _, vjp = jax.vjp(lambda q, k, v: ref(q, k, v, None), q, k, v)
+        dq, dk, dv = vjp(g)
+        db = None
+    return dq, dk, dv, db, None
+
+
+_pallas_mha.defvjp(_mha_fwd, _mha_bwd)
+
+
+def pallas_mha(q, k, v, bias=None, mask=None, scale=None):
+    """Flash attention on TPU.  See ops/attention.py for conventions."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    kv_valid = None
+    if mask is not None:
+        if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1:
+            kv_valid = mask[:, 0, 0, :]
+            mask = None
+        else:
+            mb = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
+            bias = mb if bias is None else bias + mb
+            mask = None
+    return _pallas_mha(q, k, v, bias, kv_valid, scale)
