@@ -1,0 +1,109 @@
+"""Linear assignment (Hungarian matching) — on-device and exact host paths.
+
+The reference matches DETR queries to targets with scipy's C++
+`linear_sum_assignment` after a `.cpu()` sync inside the train step
+(/root/reference/src/panst3r/criterion/matcher.py:188-190) — a host
+round-trip per batch item per decoder layer.  TPU-native design:
+
+- ``auction_lap`` — Jacobi auction algorithm (all unassigned columns bid in
+  parallel each round — vectorizes the bidding onto the VPU), pure JAX
+  (`lax.while_loop`), fully jittable: the matcher stays on device inside the
+  compiled train step.  ε is fixed at `span·2e-3/(C+1)`, giving an
+  optimality gap ≤ C·ε ≈ 0.2% of the cost span — far below any effect on
+  DETR training.  A greedy completion pass guarantees a valid assignment
+  even if the iteration cap is hit.
+- ``exact_lap`` — exact solver on host (scipy's C++ Jonker-Volgenant), for
+  eval and for testing the auction gap.
+
+Convention: costs (n_rows, n_cols) with n_rows >= n_cols; every column gets
+a distinct row (matches scipy's behavior for tall matrices).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def auction_lap(cost: jnp.ndarray, max_iters: int = 5000):
+    """Min-cost assignment of columns (bidders) to rows (objects).
+
+    cost: (R, C) with R >= C.  Returns row_for_col: (C,) int32 — a distinct
+    row index for each column.
+    """
+    R, C = cost.shape
+    assert R >= C, "auction_lap expects tall cost matrices (R >= C)"
+    benefit = -cost.astype(jnp.float32).T        # (C, R): bidders × objects
+    span = jnp.maximum(jnp.max(jnp.abs(benefit)), 1e-6)
+    eps = span * 2e-3 / (C + 1)
+
+    def cond(state):
+        _, assign, _, it = state
+        return (assign < 0).any() & (it < max_iters)
+
+    def body(state):
+        prices, assign, owner, it = state
+        unassigned = assign < 0                   # (C,)
+        values = benefit - prices[None]           # (C, R)
+        top2, idx2 = jax.lax.top_k(values, 2)
+        best_obj = idx2[:, 0]
+        bid_amt = prices[best_obj] + top2[:, 0] - top2[:, 1] + eps
+
+        # Per object: the highest bid among unassigned bidders wins.
+        bid_amt_u = jnp.where(unassigned, bid_amt, -jnp.inf)
+        obj_bids = jnp.full((R,), -jnp.inf).at[best_obj].max(bid_amt_u)
+        bidder_ids = jnp.where(
+            (obj_bids[best_obj] == bid_amt_u) & unassigned,
+            jnp.arange(C), -1)
+        winner = jnp.full((R,), -1, jnp.int32).at[best_obj].max(
+            bidder_ids.astype(jnp.int32))
+        contested = winner >= 0                   # (R,)
+
+        # Previous owners of contested objects become unassigned.
+        prev_owner_lost = jnp.zeros((C,), bool).at[
+            jnp.where(owner >= 0, owner, C)].set(contested, mode="drop")
+        assign = jnp.where(prev_owner_lost, -1, assign)
+        # New winners take ownership.
+        assign = assign.at[jnp.where(contested, winner, C)].set(
+            jnp.arange(R, dtype=jnp.int32), mode="drop")
+        owner = jnp.where(contested, winner, owner)
+        prices = jnp.where(contested, obj_bids, prices)
+        return prices, assign, owner, it + 1
+
+    _, assign, owner, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((R,), jnp.float32),
+                     jnp.full((C,), -1, jnp.int32),
+                     jnp.full((R,), -1, jnp.int32), 0))
+
+    # Greedy completion (no-op when the auction converged): assign leftover
+    # bidders to their cheapest free row, one per round.
+    def fix_cond(state):
+        assign, _ = state
+        return (assign < 0).any()
+
+    def fix_body(state):
+        assign, owner = state
+        t = jnp.argmax(assign < 0)                # first unassigned bidder
+        free = owner < 0
+        masked = jnp.where(free, benefit[t], -jnp.inf)
+        r = jnp.argmax(masked).astype(jnp.int32)
+        return assign.at[t].set(r), owner.at[r].set(t)
+
+    assign, _ = jax.lax.while_loop(fix_cond, fix_body, (assign, owner))
+    return assign
+
+
+def exact_lap(cost) -> tuple[np.ndarray, np.ndarray]:
+    """Exact LAP on host (scipy C++ Jonker-Volgenant), eval/test path."""
+    from scipy.optimize import linear_sum_assignment
+
+    rows, cols = linear_sum_assignment(np.asarray(cost))
+    return rows.astype(np.int64), cols.astype(np.int64)
+
+
+def assignment_cost(cost, row_for_col) -> jnp.ndarray:
+    C = cost.shape[1]
+    return cost[row_for_col, jnp.arange(C)].sum()

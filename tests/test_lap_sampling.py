@@ -1,0 +1,61 @@
+"""Tests: auction LAP vs scipy, point_sample vs torch grid_sample."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from panst3r_tpu.ops.lap import assignment_cost, auction_lap, exact_lap
+from panst3r_tpu.ops.sampling import point_sample, uncertain_point_coords
+
+
+@pytest.mark.parametrize("R,C", [(10, 10), (200, 7), (50, 30), (5, 1)])
+def test_auction_matches_scipy_cost(rng, R, C):
+    for trial in range(3):
+        cost = rng.standard_normal((R, C)).astype(np.float32) * 3
+        assign = np.asarray(auction_lap(jnp.asarray(cost)))
+        # distinct rows
+        assert len(set(assign.tolist())) == C
+        ours = float(assignment_cost(jnp.asarray(cost), jnp.asarray(assign)))
+        rows, cols = exact_lap(cost)
+        optimal = cost[rows, cols].sum()
+        assert ours <= optimal + 1e-2 * max(1.0, abs(optimal)), \
+            (ours, optimal)
+
+
+def test_auction_vmap(rng):
+    costs = rng.standard_normal((4, 20, 6)).astype(np.float32)
+    assigns = jax.vmap(auction_lap)(jnp.asarray(costs))
+    for b in range(4):
+        a = np.asarray(assigns[b])
+        assert len(set(a.tolist())) == 6
+        ours = costs[b][a, np.arange(6)].sum()
+        rows, cols = exact_lap(costs[b])
+        assert ours <= costs[b][rows, cols].sum() + 0.05
+
+
+def test_point_sample_matches_grid_sample(rng):
+    N, H, W, P = 3, 16, 24, 50
+    feats = rng.standard_normal((N, H, W)).astype(np.float32)
+    pts = rng.random((N, P, 2)).astype(np.float32)  # (x, y) in [0,1]
+
+    ours = np.asarray(point_sample(jnp.asarray(feats), jnp.asarray(pts)))
+
+    t_in = torch.from_numpy(feats)[:, None]
+    t_pts = torch.from_numpy(pts)[:, :, None]       # (N, P, 1, 2)
+    theirs = F.grid_sample(t_in, 2.0 * t_pts - 1.0, align_corners=False)
+    theirs = theirs[:, 0, :, 0].numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_uncertain_point_coords_shapes(rng):
+    logits = jnp.asarray(rng.standard_normal((4, 8, 12)), jnp.float32)
+    pts = uncertain_point_coords(jax.random.PRNGKey(0), logits, 32, 3.0, 0.75)
+    assert pts.shape == (4, 32, 2)
+    assert (np.asarray(pts) >= 0).all() and (np.asarray(pts) <= 1).all()
+
+    # oversample=1, importance=1 (the reference training config) → all
+    # points kept, reordered by uncertainty.
+    pts2 = uncertain_point_coords(jax.random.PRNGKey(1), logits, 32, 1.0, 1.0)
+    assert pts2.shape == (4, 32, 2)
