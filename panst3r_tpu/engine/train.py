@@ -1,0 +1,177 @@
+"""Training engine: pjit data-parallel train step, schedule, epoch loop.
+
+TPU-native equivalent of the reference training stack:
+
+- torch DDP + NCCL all-reduce (/root/reference/train.py:227-230) → one jit
+  over a `Mesh(('data', 'mem'))` with the batch sharded on ``data``;
+  gradient all-reduce is implicit in GSPMD.
+- `NativeScalerWithGradNormCount` (AMP grad scaling + clipping,
+  train.py:236) → no loss scaler needed with bf16 compute on TPU; global
+  grad-norm clipping via optax.
+- `adjust_learning_rate` per-iter warmup+cosine (croco;
+  engine/train.py:98-99) → an optax-style schedule over fractional epochs.
+- grad accumulation (engine/train.py:122-127) → optax.MultiSteps.
+- weight-decay grouping (must3r get_parameter_groups; no decay on
+  bias/norm params) → optax.masked adamw.
+- NaN abort (engine/train.py:118-120) → host-side check on the returned
+  loss.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from panst3r_tpu.core import config as cfg
+from panst3r_tpu.core.mesh import DATA_AXIS
+from panst3r_tpu.engine.criterion import (PanopticLossConfig, Targets,
+                                          panoptic_loss)
+
+
+@cfg.register
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # reference configs/base.yaml:55-85 hyperparameters
+    epochs: int = 200
+    warmup_epochs: int = 5
+    lr: Optional[float] = 1e-4
+    blr: float = 1.5e-4          # base lr, scaled by eff_bs/256 if lr None
+    min_lr: float = 1e-6
+    weight_decay: float = 0.05
+    betas: tuple = (0.9, 0.95)
+    batch_size: int = 2
+    accum_iter: int = 2
+    clip_grad: Optional[float] = None
+    seed: int = 777
+    max_instances: int = 48
+    loss: PanopticLossConfig = PanopticLossConfig()
+
+    def effective_lr(self, world_size: int) -> float:
+        eff_bs = self.batch_size * self.accum_iter * world_size
+        if self.lr is not None:
+            return self.lr
+        return self.blr * eff_bs / 256.0     # reference train.py:211-214
+
+
+def cosine_lr(config: TrainConfig, world_size: int, steps_per_epoch: int):
+    """Per-iteration warmup + cosine schedule (croco adjust_learning_rate)."""
+    peak = config.effective_lr(world_size)
+
+    def schedule(step):
+        epoch_f = step / steps_per_epoch
+        warm = peak * epoch_f / max(config.warmup_epochs, 1e-8)
+        prog = (epoch_f - config.warmup_epochs) / max(
+            config.epochs - config.warmup_epochs, 1e-8)
+        cos = config.min_lr + (peak - config.min_lr) * 0.5 * (
+            1.0 + jnp.cos(math.pi * jnp.clip(prog, 0.0, 1.0)))
+        return jnp.where(epoch_f < config.warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def _decay_mask(params) -> Any:
+    """No weight decay on biases, norm scales, or embedding-like 1-D params
+    (must3r get_parameter_groups semantics)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(params=params, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def build_optimizer(config: TrainConfig, world_size: int,
+                    steps_per_epoch: int, trainable_mask=None):
+    schedule = cosine_lr(config, world_size, steps_per_epoch)
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.clip_grad)
+        if config.clip_grad else optax.identity(),
+        optax.scale_by_adam(b1=config.betas[0], b2=config.betas[1]),
+        optax.masked(optax.add_decayed_weights(config.weight_decay),
+                     _decay_mask),
+        optax.scale_by_learning_rate(schedule),
+    )
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
+    if config.accum_iter > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=config.accum_iter)
+    return tx, schedule
+
+
+def make_train_step(model, tx, loss_config: PanopticLossConfig,
+                    grid: tuple[int, int], donate: bool = True):
+    """Build the jitted train step.
+
+    batch: dict with images (B, V, H, W, 3), portrait (B, V),
+    targets: Targets pytree, cls_embeddings (ncls, D).
+    """
+
+    def step_fn(state: TrainState, batch: dict, cls_embeddings, key):
+        def loss_fn(params):
+            panout, _ = model.apply(params, batch["images"],
+                                    batch["portrait"], cls_embeddings, grid)
+            total, details = panoptic_loss(
+                key, panout, batch["targets"], loss_config)
+            return total, details
+
+        (loss, details), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        return new_state, loss, details
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def shard_batch(batch: dict, mesh) -> dict:
+    """Place the batch with its leading axis sharded over ``data``."""
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def train_one_epoch(state: TrainState, step_fn, data_iter, cls_embeddings,
+                    mesh, epoch: int, seed: int, log_writer=None,
+                    print_freq: int = 20, steps_per_epoch: int = 0,
+                    schedule=None):
+    """Host-side epoch loop (reference engine/train.py:59-154)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
+    losses = []
+    for it, batch in enumerate(data_iter):
+        batch = shard_batch(batch, mesh)
+        state, loss, details = step_fn(state, batch, cls_embeddings,
+                                       jax.random.fold_in(key, it))
+        loss_value = float(loss)
+        if not math.isfinite(loss_value):
+            raise FloatingPointError(
+                f"Loss is {loss_value}, stopping training")  # :118-120
+        losses.append(loss_value)
+
+        if log_writer is not None and (it + 1) % print_freq == 0:
+            epoch_f = epoch + it / max(steps_per_epoch, 1)
+            vals = {"train/loss": float(np.mean(losses[-print_freq:])),
+                    "train/iter": epoch_f}
+            if schedule is not None:
+                vals["train/lr"] = float(schedule(int(state.step)))
+            for k, v in details.items():
+                vals[f"train/{k}"] = float(v)
+            log_writer.log(vals, epoch_f)
+
+    return state, {"loss": float(np.mean(losses)) if losses else 0.0}

@@ -23,6 +23,7 @@ import dataclasses
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from panst3r_tpu.core import config as cfg
@@ -43,6 +44,13 @@ class PanSt3RConfig:
     panoptic: PanopticDecoderConfig = PanopticDecoderConfig()
     init_num_views: int = 2     # reference must3r_params (:35-39)
     batch_num_views: int = 1
+    # Freeze policy (reference train.py:219-222: dino always frozen; the
+    # must3r encoder/decoder frozen unless finetune flags set).  Implemented
+    # as stop_gradient at the stage boundary so XLA dead-code-eliminates the
+    # whole frozen backward pass.
+    freeze_encoder: bool = True
+    freeze_decoder: bool = True
+    freeze_dino: bool = True
 
     def mem_batches(self, n_views: int) -> list[int]:
         """[2, 1, 1, ...] memory injection schedule (reference :65-70)."""
@@ -104,8 +112,13 @@ class PanSt3R(nn.Module):
         B, V = images.shape[:2]
         N = grid[0] * grid[1]
 
+        sg = jax.lax.stop_gradient
         x_dino = self.encode_dino(images)
+        if c.freeze_dino:
+            x_dino = sg(x_dino)
         x, pos = self.encode(images)
+        if c.freeze_encoder:
+            x = sg(x)
 
         # Incremental memory build over the injection schedule.
         mem = memlib.init_memory(c.decoder.depth, B, V * N, c.decoder.dim,
@@ -118,6 +131,9 @@ class PanSt3R(nn.Module):
             start += nb
 
         pointmaps, y = self.decoder_render(x, pos, mem, grid)
+        if c.freeze_decoder:
+            y = sg(y)
+            pointmaps = sg(pointmaps)
 
         panout = self.panoptic((x, y, x_dino), images, pos, portrait,
                                cls_embeddings, grid)
