@@ -1,0 +1,74 @@
+"""Benchmark: flagship PanSt3R v1 inference throughput on one TPU chip.
+
+Measures end-to-end frames/s of the full inference pipeline (encoder →
+keyframe memory build → render → DINO → joint panoptic decode → non-keyframe
+decode) at the 512×384 bucket, bf16, matching BASELINE.json's
+"Frames/s per chip at 512px" headline.  The reference publishes no speed
+numbers (README only has PQ; train.py:290 eval is a TODO), so
+``vs_baseline`` is null until a torch-side measurement exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from panst3r_tpu.core.bucketing import Bucket
+    from panst3r_tpu.engine.inference import InferenceEngine
+    from panst3r_tpu.models.panst3r import PanSt3R
+    from panst3r_tpu.models.presets import panst3r_v1_config
+
+    H, W = 384, 512
+    V = int(os.environ.get("BENCH_VIEWS", "8"))
+    K = int(os.environ.get("BENCH_KEYFRAMES", "4"))
+    NCLS = 32
+
+    rng = np.random.default_rng(0)
+    images = (rng.standard_normal((V, H, W, 3)) * 0.3).astype(np.float32)
+    portrait = np.zeros(V, bool)
+    cls_emb = rng.standard_normal((NCLS, 768)).astype(np.float32)
+
+    model = PanSt3R(panst3r_v1_config())
+    import jax.numpy as jnp
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, H, W, 3), jnp.bfloat16),
+        jnp.zeros((1, 2), bool),
+        jnp.zeros((NCLS, 768), jnp.bfloat16), (H // 16, W // 16))
+
+    engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=K,
+                             chunk=4, amp=True)
+
+    # Warmup (compilation)
+    engine.run(images, portrait, cls_emb)
+
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = engine.run(images, portrait, cls_emb)
+        jax.block_until_ready(out["pred_logits"])
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    fps = V / best
+    print(json.dumps({
+        "metric": "inference_frames_per_s_per_chip_512px",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

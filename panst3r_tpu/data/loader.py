@@ -1,0 +1,88 @@
+"""Batch collation: view dicts → static-shape training batches.
+
+Replaces the reference's torch DataLoader + DistributedSampler path
+(must3r build_dataset, /root/reference/train.py:162-164) with a simple
+deterministic host-side loader: per-epoch shuffling, per-rank sharding by
+slicing, landscape canonicalization (core/bucketing.py) and padded target
+preparation (data/targets.py).  Output batches are numpy pytrees ready for
+`shard_batch` (engine/train.py).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from panst3r_tpu.data.targets import prepare_targets
+from panst3r_tpu.engine.criterion import Targets
+
+
+def canonicalize_views(views: Sequence[dict]) -> dict:
+    """Stack one sample's views; transpose portrait views to landscape.
+
+    Returns images (V, H, W, 3), portrait (V,), pan_inst_id/pan_cls_id
+    (V, H, W) — all landscape-canonical.
+    """
+    imgs, portraits, insts, clss = [], [], [], []
+    for v in views:
+        img = v["img"]
+        inst = v["pan_inst_id"]
+        cls = v["pan_cls_id"]
+        portrait = img.shape[0] > img.shape[1]
+        if portrait:
+            img = np.swapaxes(img, 0, 1)
+            inst = np.swapaxes(inst, 0, 1)
+            cls = np.swapaxes(cls, 0, 1)
+        imgs.append(img)
+        insts.append(inst)
+        clss.append(cls)
+        portraits.append(portrait)
+    return {
+        "images": np.stack(imgs),
+        "portrait": np.asarray(portraits, bool),
+        "pan_inst_id": np.stack(insts),
+        "pan_cls_id": np.stack(clss),
+        "class_set": views[0]["class_set"],
+    }
+
+
+def collate_batch(samples: Sequence[Sequence[dict]], classes: list[str],
+                  max_instances: int) -> dict:
+    """samples: list of per-sample view lists (same bucket) → batch dict."""
+    canon = [canonicalize_views(v) for v in samples]
+    images = np.stack([c["images"] for c in canon])
+    portrait = np.stack([c["portrait"] for c in canon])
+
+    tgt = [prepare_targets(c["pan_inst_id"], c["pan_cls_id"],
+                           c["class_set"].split(";"), classes, max_instances)
+           for c in canon]
+    targets = Targets(
+        labels=np.stack([t["labels"] for t in tgt]),
+        masks=np.stack([t["masks"] for t in tgt]),
+        valid=np.stack([t["valid"] for t in tgt]),
+        output_mask=np.stack([t["output_mask"] for t in tgt]),
+    )
+    return {"images": images.astype(np.float32), "portrait": portrait,
+            "targets": targets}
+
+
+def epoch_batches(dataset, batch_size: int, classes: list[str],
+                  max_instances: int, epoch: int, seed: int = 777,
+                  rank: int = 0, world_size: int = 1,
+                  num_resolutions: int = 1) -> Iterator[dict]:
+    """Deterministic per-epoch iterator with rank sharding.
+
+    All samples of one batch share a resolution bucket (drawn per batch) so
+    shapes stay static per compiled executable — the reference gets the
+    same effect by sampling `resolution` once per __getitem__ tuple.
+    """
+    dataset.set_epoch(epoch)
+    rng = np.random.default_rng(seed + epoch)
+    order = rng.permutation(len(dataset))
+    order = order[rank::world_size]
+    n_batches = len(order) // batch_size
+    for b in range(n_batches):
+        idxs = order[b * batch_size:(b + 1) * batch_size]
+        res_idx = int(rng.integers(num_resolutions))
+        samples = [dataset[(int(i), res_idx)] for i in idxs]
+        yield collate_batch(samples, classes, max_instances)

@@ -1,0 +1,124 @@
+"""ScanNet++ panoptic multi-view dataset.
+
+Equivalent of /root/reference/src/panst3r/datasets/scannetpp.py: loads the
+preprocessed layout produced by tools/preprocess_scannetpp.py —
+`all_metadata.npz` (scenes, sceneids, images, intrinsics, trajectories,
+covisibility pairs, cls_sep) + `categories.json`, per-view RGB jpg /
+depth png (mm) / panoptic png (rgb2id; inst = id // cls_sep,
+cls = id % cls_sep).
+"""
+from __future__ import annotations
+
+import json
+import os.path as osp
+
+import numpy as np
+from PIL import Image
+
+from panst3r_tpu.data.base import EasyDataset, select_tuple_from_pairs
+from panst3r_tpu.data.cropping import crop_resize_if_necessary
+from panst3r_tpu.data.utils import rgb2id
+
+CLS_SEP = 256
+
+
+def _imread(path: str, flags: str = "rgb") -> np.ndarray:
+    import cv2
+
+    if flags == "unchanged":
+        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class ScanNetppPanoptic(EasyDataset):
+    def __init__(self, ROOT: str, resolution=(512, 384), num_views: int = 5,
+                 aug_crop: int = 16, seed: int = 777):
+        self.ROOT = ROOT
+        self.resolution = (resolution if isinstance(resolution[0],
+                                                    (list, tuple))
+                           else [resolution])
+        self.num_views = num_views
+        self.aug_crop = aug_crop
+        self.seed = seed
+        self.epoch = 0
+        self.is_metric_scale = True
+        self._load_data()
+
+        self.pairs_per_image = [set() for _ in range(len(self.images))]
+        for i1, i2 in self.pairs:
+            self.pairs_per_image[i1].add(int(i2))
+            self.pairs_per_image[i2].add(int(i1))
+
+    def _load_data(self):
+        with np.load(osp.join(self.ROOT, "all_metadata.npz"),
+                     allow_pickle=True) as data:
+            self.scenes = data["scenes"]
+            self.sceneids = data["sceneids"]
+            self.images = data["images"]
+            self.intrinsics = data["intrinsics"].astype(np.float32)
+            self.trajectories = data["trajectories"].astype(np.float32)
+            self.pairs = data["pairs"][:, :2].astype(int)
+            self.cls_sep = (int(data["cls_sep"]) if "cls_sep" in data
+                            else CLS_SEP)
+        with open(osp.join(self.ROOT, "categories.json")) as f:
+            self.categories = json.load(f)
+        self._classes = [cat["name"] for cat in self.categories]
+
+    @property
+    def classes(self):
+        return self._classes
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _load_view(self, idx: int, view_idx: int, resolution,
+                   rng: np.random.Generator) -> dict:
+        scene_id = self.sceneids[view_idx]
+        scene_dir = osp.join(self.ROOT, str(self.scenes[scene_id]))
+        basename = str(self.images[view_idx])
+
+        rgb = _imread(osp.join(scene_dir, "images", basename + ".jpg"))
+        depth = _imread(osp.join(scene_dir, "depth", basename + ".png"),
+                        "unchanged").astype(np.float32) / 1000.0
+        depth[~np.isfinite(depth)] = 0
+
+        pan = _imread(osp.join(scene_dir, "panoptic", basename + ".png"))
+        pan_id = rgb2id(pan)
+        inst_id = pan_id // self.cls_sep
+        cls_id = pan_id % self.cls_sep
+
+        K = self.intrinsics[view_idx]
+        image, (depth, inst_id, cls_id), K = crop_resize_if_necessary(
+            rgb, (depth, inst_id, cls_id), K, resolution, rng=rng,
+            aug_crop=self.aug_crop)
+
+        img = np.asarray(image, np.float32) / 255.0 * 2.0 - 1.0  # dust3r norm
+        return dict(
+            img=img,
+            depthmap=depth.astype(np.float32),
+            camera_pose=self.trajectories[view_idx],
+            camera_intrinsics=K.astype(np.float32),
+            dataset="ScanNet++",
+            label=f"{self.scenes[scene_id]}_{basename}",
+            pan_inst_id=inst_id.astype(np.int32),
+            pan_cls_id=cls_id.astype(np.int32),
+            class_set=";".join(self._classes),
+        )
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            idx, res_idx = idx
+        else:
+            res_idx = 0
+        resolution = self.resolution[res_idx]
+        rng = np.random.default_rng(self.seed + self.epoch * 100003 + idx)
+        idx1, idx2 = self.pairs[idx]
+        views = select_tuple_from_pairs(
+            lambda v: self.pairs_per_image[v],
+            lambda v, r: self._load_view(idx, v, resolution, r),
+            self.num_views, self.num_views, rng, int(idx1), int(idx2))
+        return views

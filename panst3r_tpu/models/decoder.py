@@ -30,6 +30,7 @@ import dataclasses
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from panst3r_tpu.core import config as cfg
@@ -55,6 +56,11 @@ class MemoryDecoderConfig:
 
 class MemoryDecoder(nn.Module):
     config: MemoryDecoderConfig = MemoryDecoderConfig()
+    # Optional NamedSharding for the per-layer KV bank (B, capacity, C):
+    # capacity sharded over the mesh 'mem' axis.  GSPMD then partitions the
+    # memory cross-attention across devices (ops/sharded_attention.py
+    # documents the schedule XLA derives).
+    kv_shard: Optional[object] = None
 
     @nn.compact
     def __call__(self, x_enc: jnp.ndarray, pos: jnp.ndarray,
@@ -97,6 +103,8 @@ class MemoryDecoder(nn.Module):
                 bias, kpos = upd_bias, kv_pos
             else:
                 kv = mem.y[l].astype(x.dtype)
+                if self.kv_shard is not None:
+                    kv = jax.lax.with_sharding_constraint(kv, self.kv_shard)
                 bias, kpos = mem_bias, mem.pos
 
             # Self-attention within each view.

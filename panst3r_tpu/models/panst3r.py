@@ -62,11 +62,14 @@ class PanSt3RConfig:
 
 class PanSt3R(nn.Module):
     config: PanSt3RConfig = PanSt3RConfig()
+    # Optional NamedSharding for the decoder KV memory banks (capacity axis
+    # over the mesh 'mem' axis) — see ops/sharded_attention.py.
+    kv_shard: Optional[object] = None
 
     def setup(self):
         c = self.config
         self.must3r_encoder = ViTEncoder(c.encoder)
-        self.must3r_decoder = MemoryDecoder(c.decoder)
+        self.must3r_decoder = MemoryDecoder(c.decoder, kv_shard=self.kv_shard)
         self.dino_encoder = DinoEncoder(c.dino)
         self.panoptic_decoder = PanopticDecoder(c.panoptic)
 
