@@ -40,7 +40,7 @@ def main():
     model = PanSt3R(panst3r_v1_config())
     import jax.numpy as jnp
 
-    params = jax.jit(model.init)(
+    params = jax.jit(model.init, static_argnums=(4,))(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 2, H, W, 3), jnp.bfloat16),
         jnp.zeros((1, 2), bool),

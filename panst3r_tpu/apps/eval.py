@@ -1,0 +1,117 @@
+"""PQ evaluation driver.
+
+Fills the reference's eval gap (train.py:290 "TODO: testing would be done
+here..."): runs the inference engine over dataset scenes, fuses masks
+(v1/v2/qubo) and reports PQ/SQ/RQ (BASELINE PQ suite protocol: direct
+multi-view prediction, README.md:124).
+
+Run:  python -m panst3r_tpu.apps.eval --data-root ... --checkpoint out/final
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panst3r_tpu.core.bucketing import Bucket
+from panst3r_tpu.core.checkpoint import load_checkpoint
+from panst3r_tpu.data.loader import canonicalize_views
+from panst3r_tpu.data.scannetpp import ScanNetppPanoptic
+from panst3r_tpu.engine.eval import PQStat, gt_segments_from_maps, scene_pq, summarize
+from panst3r_tpu.engine.fusion import (panoptic_fusion, panoptic_fusion_v1,
+                                       qubo_fusion)
+from panst3r_tpu.engine.inference import InferenceEngine
+from panst3r_tpu.models.panst3r import PanSt3R
+from panst3r_tpu.models.presets import (panst3r_v1_config, panst3r_v2_config,
+                                        tiny_config)
+
+
+def evaluate_scene(engine: InferenceEngine, views: list[dict],
+                   classes: list[str], cls_emb: np.ndarray,
+                   fusion: str = "standard_v2",
+                   per_class: dict | None = None) -> dict:
+    canon = canonicalize_views(views)
+    out = engine.run(canon["images"].astype(np.float32),
+                     canon["portrait"], cls_emb)
+
+    H, W = canon["images"].shape[1:3]
+    fuse = {"standard_v2": panoptic_fusion, "standard_v1": panoptic_fusion_v1,
+            "qubo": qubo_fusion}[fusion]
+    res = fuse(jnp.asarray(out["pred_logits"][None]),
+               jnp.asarray(out["pred_masks"][None]),  # (1, V, Q, h, w)
+               (H, W))[0]
+
+    gt_pan, gt_segments = gt_segments_from_maps(
+        canon["pan_inst_id"].astype(np.int64), canon["pan_cls_id"],
+        canon["class_set"].split(";"), classes)
+    if per_class is None:
+        per_class = defaultdict(PQStat)
+    scene_pq(np.asarray(res["pan"], np.int64), res["segments_info"],
+             gt_pan, gt_segments, per_class)
+    return per_class
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--preset", default="v1", choices=["v1", "v2", "tiny"])
+    ap.add_argument("--num-scenes", type=int, default=50)
+    ap.add_argument("--num-views", type=int, default=4)
+    ap.add_argument("--num-keyframes", type=int, default=4)
+    ap.add_argument("--resolution", type=int, nargs=2, default=[512, 384])
+    ap.add_argument("--fusion", default="standard_v2",
+                    choices=["standard_v1", "standard_v2", "qubo"])
+    args = ap.parse_args(argv)
+
+    W, H = args.resolution
+    dataset = ScanNetppPanoptic(args.data_root, resolution=(W, H),
+                                num_views=args.num_views, aug_crop=0)
+    classes = sorted(set(dataset.classes))
+
+    cfg = {"v1": panst3r_v1_config, "v2": panst3r_v2_config,
+           "tiny": tiny_config}[args.preset]()
+    model = PanSt3R(cfg)
+    lang_dim = cfg.panoptic.mask_transformer.lang_dim
+    rng = np.random.default_rng(0)
+    cls_emb = rng.standard_normal((len(classes), lang_dim)).astype(np.float32)
+    cls_emb /= np.linalg.norm(cls_emb, axis=-1, keepdims=True)
+
+    grid = (H // 16, W // 16)
+    params = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, H, W, 3), jnp.float32),
+        jnp.zeros((1, 2), bool), jnp.asarray(cls_emb), grid)
+    if args.checkpoint:
+        ckpt_dir, name = Path(args.checkpoint).parent, \
+            Path(args.checkpoint).name
+        tree, _, meta = load_checkpoint(ckpt_dir, name,
+                                        jax.tree_util.tree_map(np.asarray,
+                                                               params))
+        params = tree
+        if "classes" in meta:
+            classes = meta["classes"]
+
+    engine = InferenceEngine(model, params, Bucket(H, W),
+                             num_keyframes=args.num_keyframes, amp=True)
+
+    per_class = defaultdict(PQStat)
+    n = min(args.num_scenes, len(dataset))
+    for i in range(n):
+        views = dataset[i]
+        evaluate_scene(engine, views, classes, cls_emb, args.fusion,
+                       per_class)
+        if (i + 1) % 10 == 0:
+            print(f"[{i + 1}/{n}] {summarize(per_class)}")
+
+    result = summarize(per_class)
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Training CLI.
+
+Equivalent of /root/reference/train.py (Hydra main, :110-302) on the
+declarative config system: YAML config → dataclasses (never eval'd
+strings), auto-resume from `<output_dir>/last`, per-epoch checkpointing
+with `keep_freq` numbered keeps, logger selection, vocab setup.
+
+Run:  python -m panst3r_tpu.apps.train --config configs/train_v1.yaml \
+          [--output-dir out] [--epochs N] ...
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panst3r_tpu.core import config as cfglib
+from panst3r_tpu.core.checkpoint import (latest_checkpoint, load_checkpoint,
+                                         save_checkpoint)
+from panst3r_tpu.core.logging import build_logger
+from panst3r_tpu.core.mesh import MeshSpec, build_mesh
+from panst3r_tpu.engine.train import (TrainConfig, TrainState,
+                                      build_optimizer, make_train_step,
+                                      train_one_epoch)
+from panst3r_tpu.data.loader import epoch_batches
+from panst3r_tpu.data.scannetpp import ScanNetppPanoptic
+from panst3r_tpu.models.panst3r import PanSt3R
+from panst3r_tpu.models.presets import (panst3r_v1_config, panst3r_v2_config,
+                                        tiny_config)
+from panst3r_tpu.models.text_encoder import TextEncoder, TextEncoderConfig
+
+
+@cfglib.register
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model_preset: str = "v1"               # v1 | v2 | tiny
+    data_root: str = ""
+    resolution: tuple = ((512, 384),)
+    num_views: int = 5
+    aug_crop: int = 16
+    train: TrainConfig = TrainConfig()
+    output_dir: str = "./out"
+    keep_freq: int = 10                    # reference base.yaml:81
+    print_freq: int = 20
+    logger: str = "tensorboard"
+    mesh_data: int = -1
+    mesh_mem: int = 1
+    text_encoder: str = "siglip"
+
+
+def build_model(preset: str) -> PanSt3R:
+    cfg = {"v1": panst3r_v1_config, "v2": panst3r_v2_config,
+           "tiny": tiny_config}[preset]()
+    return PanSt3R(cfg)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--output-dir", type=str, default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--data-root", type=str, default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.config:
+        exp: ExperimentConfig = cfglib.load_yaml(args.config)
+    else:
+        exp = ExperimentConfig()
+    if args.output_dir:
+        exp = dataclasses.replace(exp, output_dir=args.output_dir)
+    if args.data_root:
+        exp = dataclasses.replace(exp, data_root=args.data_root)
+    if args.epochs:
+        exp = dataclasses.replace(
+            exp, train=dataclasses.replace(exp.train, epochs=args.epochs))
+
+    out_dir = Path(exp.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfglib.save_yaml(exp, out_dir / "config.yaml")
+
+    mesh = build_mesh(MeshSpec(data=exp.mesh_data, mem=exp.mesh_mem))
+    world = mesh.devices.size
+    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    dataset = ScanNetppPanoptic(exp.data_root, resolution=list(exp.resolution),
+                                num_views=exp.num_views,
+                                aug_crop=exp.aug_crop)
+    classes = sorted(set(dataset.classes))
+
+    model = build_model(exp.model_preset)
+    grid = (exp.resolution[0][1] // 16, exp.resolution[0][0] // 16)
+
+    # Text vocabulary → fixed embedding table (reference train.py:185-189).
+    text = TextEncoder(TextEncoderConfig(model_name=exp.text_encoder))
+    try:
+        text.set_vocab(classes)
+        cls_emb = jnp.asarray(text(classes))
+    except Exception as e:  # no local HF weights — random unit embeddings
+        print(f"WARN: text tower unavailable ({e}); using random embeddings")
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((len(classes), text.embed_dim))
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        text.load_table(classes, emb.astype(np.float32))
+        cls_emb = jnp.asarray(text(classes))
+
+    H, W = exp.resolution[0][1], exp.resolution[0][0]
+    V = exp.num_views
+    init_batch = jnp.zeros((1, V, H, W, 3), jnp.float32)
+    params = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(exp.train.seed), init_batch,
+        jnp.zeros((1, V), bool), cls_emb, grid)
+
+    steps_per_epoch = max(len(dataset) // (exp.train.batch_size * world), 1)
+    tx, schedule = build_optimizer(exp.train, world, steps_per_epoch)
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(model, tx, exp.train.loss, grid)
+
+    start_epoch = 0
+    last = latest_checkpoint(out_dir) if True else None
+    if last:  # auto-resume (reference train.py:149-151,253-254)
+        tree, _, meta = load_checkpoint(out_dir, last,
+                                        jax.tree_util.tree_map(np.asarray,
+                                                               state))
+        state = jax.tree_util.tree_map(jnp.asarray, tree)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"resumed from epoch {start_epoch}")
+
+    log_writer = build_logger(exp.logger, out_dir)
+
+    print(f"Start training for {exp.train.epochs} epochs")
+    t0 = time.time()
+    for epoch in range(start_epoch, exp.train.epochs):
+        batches = epoch_batches(dataset, exp.train.batch_size, classes,
+                                exp.train.max_instances, epoch,
+                                seed=exp.train.seed,
+                                num_resolutions=len(exp.resolution))
+        with mesh:
+            state, stats = train_one_epoch(
+                state, step_fn, batches, cls_emb, mesh, epoch,
+                exp.train.seed, log_writer, exp.print_freq,
+                steps_per_epoch, schedule)
+
+        meta = {"epoch": epoch, "stats": stats, "classes": classes}
+        host_state = jax.tree_util.tree_map(np.asarray, state)
+        save_checkpoint(out_dir, "last", host_state, model.config, meta)
+        if exp.keep_freq and epoch % exp.keep_freq == 0:
+            save_checkpoint(out_dir, str(epoch), host_state, model.config,
+                            meta)
+        with (out_dir / "log.txt").open("a") as f:
+            f.write(json.dumps({"epoch": epoch,
+                                **{f"train_{k}": v
+                                   for k, v in stats.items()}}) + "\n")
+
+    print(f"Training time {time.time() - t0:.1f}s")
+    # final checkpoint without optimizer state (reference io.py:44-57)
+    save_checkpoint(out_dir, "final",
+                    jax.tree_util.tree_map(np.asarray, state.params),
+                    model.config, {"epoch": exp.train.epochs,
+                                   "classes": classes})
+
+
+if __name__ == "__main__":
+    main()

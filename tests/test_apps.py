@@ -1,0 +1,76 @@
+"""App-level smoke tests: demo reconstruction/export, eval driver."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from panst3r_tpu.apps.demo import (export_scene, load_images,
+                                   panoptic_overlay, reconstruct_scene,
+                                   segment_colors, write_ply)
+from panst3r_tpu.core.bucketing import Bucket
+from panst3r_tpu.engine.inference import InferenceEngine
+
+from tests.test_data import _make_scannetpp
+from tests.test_inference import _setup
+from tests.test_train import GRID, H, NCLS, W
+
+
+def test_segment_colors_unique():
+    cols = segment_colors(10)
+    assert cols.shape == (10, 3)
+    assert len({tuple(c) for c in cols}) == 10
+
+
+def test_load_images(tmp_path, rng):
+    from PIL import Image
+
+    for i, size in enumerate([(640, 480), (480, 640)]):  # land + portrait
+        Image.fromarray((rng.random((size[1], size[0], 3)) * 255)
+                        .astype(np.uint8)).save(tmp_path / f"{i}.jpg")
+    imgs, portrait, bucket = load_images(
+        sorted(str(p) for p in tmp_path.iterdir()))
+    assert imgs.shape[0] == 2
+    assert imgs.shape[1] <= imgs.shape[2]          # landscape canonical
+    assert portrait.tolist() == [False, True]
+    assert -1.01 <= imgs.min() and imgs.max() <= 1.01
+
+
+def test_reconstruct_and_export(tmp_path, rng):
+    model, params, images, portrait, cls_emb = _setup(rng, V=4)
+    engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=2,
+                             chunk=2, amp=False)
+    classes = [f"c{i}" for i in range(NCLS)]
+    scene = reconstruct_scene(engine, images, portrait, classes, cls_emb,
+                              num_keyframes=2)
+    assert scene["pan"].shape == (4, H, W)
+    assert scene["focals"].shape == (4,)
+    assert scene["cams2world"].shape == (4, 4, 4)
+
+    export_scene(tmp_path, images, scene, conf_threshold=0.0)
+    assert (tmp_path / "scene.ply").exists()
+    assert (tmp_path / "panoptic_000.png").exists()
+    meta = json.loads((tmp_path / "cameras.json").read_text())
+    assert len(meta["focals"]) == 4
+    header = (tmp_path / "scene.ply").read_text().splitlines()[:3]
+    assert header[0] == "ply"
+
+
+def test_eval_driver_on_synthetic(tmp_path, rng):
+    from panst3r_tpu.apps.eval import evaluate_scene
+    from panst3r_tpu.data.scannetpp import ScanNetppPanoptic
+    from panst3r_tpu.engine.eval import summarize
+
+    _make_scannetpp(str(tmp_path), n_views=4, hw=(H, W))
+    ds = ScanNetppPanoptic(str(tmp_path), resolution=(W, H), num_views=3,
+                           aug_crop=0)
+    model, params, _, _, _ = _setup(rng, V=3)
+    engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=3,
+                             chunk=3, amp=False)
+    classes = sorted(set(ds.classes))
+    cls_emb = rng.standard_normal((len(classes), 24)).astype(np.float32)
+
+    per_class = evaluate_scene(engine, ds[0], classes, cls_emb)
+    s = summarize(per_class)
+    assert set(s) >= {"PQ", "SQ", "RQ"}
+    assert 0.0 <= s["PQ"] <= 100.0
