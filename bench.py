@@ -22,6 +22,16 @@ import numpy as np
 def main():
     import jax
 
+    # Persistent compilation cache: the flagship pipeline is ~7 large XLA
+    # programs; first-ever compile is minutes through a remote-compile
+    # tunnel, later runs (including the driver's) are cache hits.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(__file__),
+                                            ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from panst3r_tpu.core.bucketing import Bucket
     from panst3r_tpu.engine.inference import InferenceEngine
     from panst3r_tpu.models.panst3r import PanSt3R
