@@ -43,11 +43,11 @@ from panst3r_tpu.engine.retrieval import (select_keyframes_linspace,
                                           select_keyframes_retrieval)
 
 
-def _pad_views(arr: np.ndarray, target: int) -> np.ndarray:
+def _pad_views(arr, target: int):
     if arr.shape[0] == target:
         return arr
     reps = [arr[-1:]] * (target - arr.shape[0])
-    return np.concatenate([arr] + reps, axis=0)
+    return jnp.concatenate([arr] + reps, axis=0)
 
 
 @dataclasses.dataclass
@@ -114,24 +114,26 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
 
-    def _encode_all(self, images: np.ndarray):
+    def _encode_all(self, images):
         """Chunked encoder pass; images (V, H, W, 3) → (V, N, C), (V, N, 2)."""
         V = images.shape[0]
+        images = jnp.asarray(images)
         xs, poss = [], []
         for s in range(0, V, self.chunk):
             img = _pad_views(images[s:s + self.chunk], self.chunk)
-            x, pos = self._encode(self.params, jnp.asarray(img)[:, None])
+            x, pos = self._encode(self.params, img[:, None])
             n = min(self.chunk, V - s)
             xs.append(x[:n, 0])
             poss.append(pos[:n, 0])
         return jnp.concatenate(xs), jnp.concatenate(poss)
 
-    def _dino_chunked(self, images: np.ndarray):
+    def _dino_chunked(self, images):
         V = images.shape[0]
+        images = jnp.asarray(images)
         outs = []
         for s in range(0, V, self.chunk):
             img = _pad_views(images[s:s + self.chunk], self.chunk)
-            out = self._dino(self.params, jnp.asarray(img)[:, None])
+            out = self._dino(self.params, img[:, None])
             outs.append(out[:min(self.chunk, V - s), 0])
         return jnp.concatenate(outs)
 
@@ -169,24 +171,28 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
 
-    def run(self, images: np.ndarray, portrait: np.ndarray,
-            cls_embeddings: np.ndarray,
-            num_keyframes: Optional[int] = None,
-            use_retrieval: bool = False) -> dict:
-        """images: (V, H, W, 3) float32 landscape-canonical dust3r-norm;
-        portrait: (V,) bool; cls_embeddings: (ncls, lang_dim).
+    def run_device(self, images: np.ndarray, portrait: np.ndarray,
+                   cls_embeddings: np.ndarray,
+                   num_keyframes: Optional[int] = None,
+                   use_retrieval: bool = False) -> dict:
+        """Device-resident pipeline: everything stays on chip.
 
-        Returns {pointmaps: {pts3d, pts3d_local, conf} (V, ...) fp32,
-                 pred_logits (Q, ncls), pred_masks (V, Q, Hm, Wm),
-                 out_queries, keyframes: list[int]}.
+        Returns device arrays {pointmaps_raw (V, H, W, 7), pred_logits
+        (Q, ncls), pred_masks (V, Q, Hm, Wm), out_queries, keyframes}.
+        The reference streams per-view outputs to CPU mid-pipeline
+        (outdevice='cpu', panst3r.py:232-233); on TPU the win is the
+        opposite — keep masks/pointmaps on chip and fuse there, transferring
+        only the final small maps (see ``fuse``).
         """
         V = images.shape[0]
         K = min(num_keyframes or self.num_keyframes, V)
         cls_emb = jnp.asarray(cls_embeddings)
         if self.amp:
             cls_emb = cls_emb.astype(jnp.bfloat16)
+        images_dev = jnp.asarray(images)
+        portrait_dev = jnp.asarray(portrait)
 
-        x, pos = self._encode_all(images)
+        x, pos = self._encode_all(images_dev)
 
         if use_retrieval and V > K:
             keyframes = select_keyframes_retrieval(
@@ -202,17 +208,15 @@ class InferenceEngine:
 
         # Step 2: render + dino + joint panoptic decode on keyframes.
         pm_kf, y_kf = self._render_chunked(x[kf_idx], pos[kf_idx], mem)
-        dino_kf = self._dino_chunked(images[np.asarray(keyframes)])
+        dino_kf = self._dino_chunked(images_dev[kf_idx])
         panout_kf = self._panoptic_joint(
             self.params,
             (x[kf_idx][None], y_kf[None], dino_kf[None]),
-            jnp.asarray(images[np.asarray(keyframes)])[None],
-            pos[kf_idx][None],
-            jnp.asarray(portrait[np.asarray(keyframes)])[None], cls_emb)
+            images_dev[kf_idx][None], pos[kf_idx][None],
+            portrait_dev[kf_idx][None], cls_emb)
 
-        pointmaps = [np.asarray(p, np.float32) for p in pm_kf]
-        pred_masks = [np.asarray(m, np.float32)
-                      for m in panout_kf["pred_masks"][0]]
+        pointmaps = [pm_kf]
+        pred_masks = [panout_kf["pred_masks"][0]]
 
         # Step 3: non-keyframes — render-only + frozen-query decode.
         if not_keyframes:
@@ -221,35 +225,60 @@ class InferenceEngine:
             for s in range(0, len(not_keyframes), self.chunk):
                 sel = nk[s:s + self.chunk]
                 n = len(sel)
-                pad = np.concatenate(
-                    [sel, np.full(self.chunk - n, sel[-1], sel.dtype)])
-                pm_i, y_i = self._render_chunked(
-                    x[jnp.asarray(pad)], pos[jnp.asarray(pad)], mem)
-                dino_i = self._dino_chunked(images[pad])
+                pad = jnp.asarray(np.concatenate(
+                    [sel, np.full(self.chunk - n, sel[-1], sel.dtype)]))
+                pm_i, y_i = self._render_chunked(x[pad], pos[pad], mem)
+                dino_i = self._dino_chunked(images_dev[pad])
                 panout_i = self._panoptic_queries(
-                    self.params,
-                    (x[jnp.asarray(pad)][None], y_i[None], dino_i[None]),
-                    jnp.asarray(images[pad])[None],
-                    pos[jnp.asarray(pad)][None],
-                    jnp.asarray(portrait[pad])[None], cls_emb, queries)
-                for j in range(n):
-                    pointmaps.append(np.asarray(pm_i[j], np.float32))
-                    pred_masks.append(
-                        np.asarray(panout_i["pred_masks"][0, j], np.float32))
+                    self.params, (x[pad][None], y_i[None], dino_i[None]),
+                    images_dev[pad][None], pos[pad][None],
+                    portrait_dev[pad][None], cls_emb, queries)
+                pointmaps.append(pm_i[:n])
+                pred_masks.append(panout_i["pred_masks"][0, :n])
 
-        # Step 4: inverse permutation back to input order.
-        inv = np.argsort(order)
-        pm_raw = np.stack([pointmaps[i] for i in inv])
-        masks = np.stack([pred_masks[i] for i in inv])
+        # Step 4: inverse permutation back to input order (on device).
+        inv = jnp.asarray(np.argsort(order))
+        pm_raw = jnp.concatenate(pointmaps)[inv]
+        masks = jnp.concatenate(pred_masks)[inv]
 
-        post = jax.tree_util.tree_map(
-            np.asarray, postprocess(jnp.asarray(pm_raw)))
         return {
-            "pointmaps": post,
             "pointmaps_raw": pm_raw,
-            "pred_logits": np.asarray(panout_kf["pred_logits"][0],
-                                      np.float32),
+            "pred_logits": panout_kf["pred_logits"][0],
             "pred_masks": masks,
-            "out_queries": np.asarray(panout_kf["out_queries"][0]),
+            "out_queries": panout_kf["out_queries"][0],
             "keyframes": list(keyframes),
         }
+
+    def run(self, images: np.ndarray, portrait: np.ndarray,
+            cls_embeddings: np.ndarray,
+            num_keyframes: Optional[int] = None,
+            use_retrieval: bool = False) -> dict:
+        """Host-output pipeline: run_device + postprocess + one transfer.
+
+        Returns {pointmaps: {pts3d, pts3d_local, conf} (V, ...) fp32,
+                 pointmaps_raw, pred_logits (Q, ncls),
+                 pred_masks (V, Q, Hm, Wm), out_queries, keyframes}.
+        """
+        out = self.run_device(images, portrait, cls_embeddings,
+                              num_keyframes, use_retrieval)
+        post = postprocess(out["pointmaps_raw"].astype(jnp.float32))
+        return {
+            "pointmaps": jax.tree_util.tree_map(
+                lambda a: np.asarray(a, np.float32), post),
+            "pointmaps_raw": np.asarray(out["pointmaps_raw"], np.float32),
+            "pred_logits": np.asarray(out["pred_logits"], np.float32),
+            "pred_masks": np.asarray(out["pred_masks"], np.float32),
+            "out_queries": np.asarray(out["out_queries"]),
+            "keyframes": out["keyframes"],
+        }
+
+    def fuse(self, out_device: dict, true_shape: tuple[int, int],
+             **fusion_kw) -> list[dict]:
+        """On-device fusion of a run_device output; transfers only the final
+        segment-id/conf maps (V, H, W) instead of (V, Q, Hm, Wm) logits."""
+        from panst3r_tpu.engine.fusion import panoptic_fusion
+
+        return panoptic_fusion(
+            out_device["pred_logits"][None].astype(jnp.float32),
+            out_device["pred_masks"][None].astype(jnp.float32),
+            true_shape, **fusion_kw)

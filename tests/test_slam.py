@@ -1,0 +1,109 @@
+"""SLAM backend tests: SE(3) math, pose-graph GN, incremental frontend."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panst3r_tpu.engine.slam import (IncrementalFrontend, se3_exp, se3_inv,
+                                     se3_log, measure_relative_poses,
+                                     pose_graph_gauss_newton,
+                                     refine_scene_poses)
+
+
+def _random_se3(rng, scale_rot=0.5, scale_t=1.0):
+    xi = np.concatenate([rng.standard_normal(3) * scale_t,
+                         rng.standard_normal(3) * scale_rot])
+    return np.asarray(se3_exp(jnp.asarray(xi)))
+
+
+def test_se3_exp_log_roundtrip(rng):
+    for _ in range(5):
+        xi = rng.standard_normal(6) * 0.8
+        T = se3_exp(jnp.asarray(xi))
+        xi2 = se3_log(T)
+        np.testing.assert_allclose(np.asarray(xi2), xi, atol=1e-5)
+
+
+def test_se3_inv():
+    rng = np.random.default_rng(0)
+    T = _random_se3(rng)
+    np.testing.assert_allclose(np.asarray(se3_inv(jnp.asarray(T))) @ T,
+                               np.eye(4), atol=1e-6)
+
+
+def test_pose_graph_recovers_from_noise(rng):
+    V = 8
+    # Ground-truth poses along a loop.
+    gt = [np.eye(4)]
+    for i in range(1, V):
+        gt.append(gt[-1] @ _random_se3(rng, 0.2, 0.5))
+    gt = np.stack(gt)
+
+    edges = np.asarray([(i, i + 1) for i in range(V - 1)]
+                       + [(0, i) for i in range(2, V)], np.int32)
+    rel = np.stack([np.linalg.inv(gt[j]) @ gt[i] for i, j in edges])
+
+    # Noisy initialization.
+    noisy = np.stack([g @ _random_se3(rng, 0.05, 0.1) for g in gt])
+    noisy[0] = gt[0]
+
+    refined, costs = pose_graph_gauss_newton(
+        jnp.asarray(noisy), jnp.asarray(edges), jnp.asarray(rel), iters=15)
+    refined = np.asarray(refined)
+
+    def err(poses):
+        return np.mean([np.linalg.norm(p[:3, 3] - g[:3, 3])
+                        for p, g in zip(poses, gt)])
+
+    assert err(refined) < 0.2 * err(noisy)
+    assert float(costs[-1]) < float(costs[0])
+
+
+def test_measure_relative_poses_consistency(rng):
+    V, H, W = 3, 8, 10
+    pts_local = rng.standard_normal((V, H, W, 3)).astype(np.float32)
+    gt = np.stack([np.eye(4)] + [_random_se3(rng, 0.3, 1.0)
+                                 for _ in range(V - 1)])
+    pts_global = np.einsum("vab,vhwb->vhwa", gt[:, :3, :3], pts_local) \
+        + gt[:, None, None, :3, 3]
+    conf = np.full((V, H, W), 3.0, np.float32)
+    edges = np.asarray([[0, 1], [1, 2]], np.int32)
+    T, rel, w = measure_relative_poses(jnp.asarray(pts_local),
+                                       jnp.asarray(pts_global),
+                                       jnp.asarray(conf),
+                                       jnp.asarray(edges))
+    np.testing.assert_allclose(np.asarray(T), gt, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rel[0]),
+                               np.linalg.inv(gt[1]) @ gt[0], atol=1e-4)
+
+
+def test_refine_scene_poses_runs(rng):
+    V, H, W = 4, 8, 10
+    pts_local = rng.standard_normal((V, H, W, 3)).astype(np.float32)
+    gt = np.stack([np.eye(4)] + [_random_se3(rng, 0.2, 0.5)
+                                 for _ in range(V - 1)])
+    pts_global = np.einsum("vab,vhwb->vhwa", gt[:, :3, :3], pts_local) \
+        + gt[:, None, None, :3, 3]
+    pm = {"pts3d_local": pts_local, "pts3d": pts_global.astype(np.float32),
+          "conf": np.full((V, H, W), 2.0, np.float32)}
+    refined, T0, costs = refine_scene_poses(pm, iters=5)
+    np.testing.assert_allclose(np.asarray(refined), gt, atol=1e-3)
+
+
+def test_incremental_frontend(rng):
+    from panst3r_tpu.core.bucketing import Bucket
+    from panst3r_tpu.engine.inference import InferenceEngine
+    from tests.test_inference import _setup
+    from tests.test_train import H, W
+
+    model, params, images, portrait, cls_emb = _setup(rng, V=6)
+    engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=4,
+                             chunk=1, amp=False)
+    frontend = IncrementalFrontend(engine, sim_threshold=1.1,  # always novel
+                                   max_interval=2, max_keyframes=4)
+    outs = [frontend.process(images[i], i) for i in range(6)]
+    assert outs[0]["is_keyframe"] and outs[1]["is_keyframe"]
+    assert all(o["pointmaps_raw"] is not None for o in outs[1:])
+    assert outs[2]["pointmaps_raw"].shape == (H, W, 7)
+    # capacity cap respected
+    assert len(frontend.state.keyframe_ids) <= 4
