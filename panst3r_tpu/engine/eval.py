@@ -125,6 +125,36 @@ def summarize(per_class: dict[int, PQStat]) -> dict:
             "num_classes": n}
 
 
+def umeyama_alignment(src: np.ndarray, dst: np.ndarray,
+                      with_scale: bool = True):
+    """Similarity transform (s, R, t) minimizing ‖s·R·src + t − dst‖²."""
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    sc, dc = src - mu_s, dst - mu_d
+    cov = dc.T @ sc / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var = (sc ** 2).sum() / len(src)
+    s = float((D * np.diag(S)).sum() / var) if with_scale else 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def ate_rmse(pred_poses: np.ndarray, gt_poses: np.ndarray,
+             align: bool = True, with_scale: bool = True) -> float:
+    """Absolute trajectory error (RMSE of camera centers) after optional
+    Umeyama alignment — the trajectory metric the BASELINE requires that
+    the reference never reports (demo recovers poses but has no eval)."""
+    p = pred_poses[:, :3, 3]
+    g = gt_poses[:, :3, 3]
+    if align:
+        s, R, t = umeyama_alignment(p, g, with_scale)
+        p = (s * (R @ p.T)).T + t
+    return float(np.sqrt(((p - g) ** 2).sum(-1).mean()))
+
+
 def gt_segments_from_maps(inst_ids: np.ndarray, cls_ids: np.ndarray,
                           class_set: list[str], classes: list[str]):
     """Build (gt_pan, gt_segments) from dataset instance/class maps."""
