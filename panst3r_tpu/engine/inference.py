@@ -97,8 +97,12 @@ class InferenceEngine:
 
         @jax.jit
         def panoptic_joint(params, feats, images, pos, portrait, cls_emb):
-            return model.apply(params, feats, cast(images), pos, portrait,
-                               cls_emb, grid, method=PanSt3R.panoptic)
+            out = model.apply(params, feats, cast(images), pos, portrait,
+                              cls_emb, grid, deep_supervision=False,
+                              method=PanSt3R.panoptic)
+            # Only what the pipeline consumes — lets XLA DCE the rest.
+            return {k: out[k] for k in
+                    ("pred_logits", "pred_masks", "out_queries")}
 
         @jax.jit
         def panoptic_queries(params, feats, images, pos, portrait, cls_emb,

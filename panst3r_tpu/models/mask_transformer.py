@@ -178,26 +178,45 @@ class MaskTransformer(nn.Module):
             "bqc,nc->bqn", lang, cls_embeddings)
 
     def prediction_heads(self, output, mask_feats, cls_embeddings,
-                         attn_grid: Optional[tuple[int, int]] = None):
+                         attn_grid: Optional[tuple[int, int]] = None,
+                         attn_feats: Optional[jnp.ndarray] = None,
+                         need_mask: bool = True):
         """output: (B, Q, C); mask_feats: (B, V, Hm, Wm, mask_dim).
 
         Returns (outputs_class (B, Q, num_cls),
-                 outputs_mask (B, V, Q, Hm, Wm),
+                 outputs_mask (B, V, Q, Hm, Wm) or None,
                  attn_bias (B, heads, Q, V*gh*gw) or None).
         Reference forward_prediction_heads (:215-277).
+
+        TPU optimization: the reference computes the full-resolution mask
+        einsum every layer then bilinearly downsamples it for the attention
+        mask (:279-288).  Bilinear resize and the channel-contraction einsum
+        commute (both linear per pixel), so the attention mask is computed
+        directly against token-grid-resized mask features (``attn_feats``,
+        64× fewer FLOPs at stride 2) — mathematically identical; the
+        full-resolution mask is only materialized when ``need_mask``
+        (final layer, and every layer under deep supervision).
         """
         c = self.config
         dec_out = self.decoder_norm(output)
         outputs_class = self._class_logits(dec_out, cls_embeddings)
         mask_embed = self.mask_embed(dec_out)
-        outputs_mask = jnp.einsum("bqc,bvhwc->bvqhw", mask_embed, mask_feats)
+        outputs_mask = None
+        if need_mask:
+            outputs_mask = jnp.einsum("bqc,bvhwc->bvqhw", mask_embed,
+                                      mask_feats)
 
         attn_bias = None
         if attn_grid is not None:
-            B, V, Q, Hm, Wm = outputs_mask.shape
             gh, gw = attn_grid
-            am = jax.image.resize(outputs_mask, (B, V, Q, gh, gw),
-                                  method="bilinear")
+            if attn_feats is None:
+                B, V, Hm, Wm, _ = mask_feats.shape
+                attn_feats = jax.image.resize(
+                    mask_feats, (B, V, gh, gw, mask_feats.shape[-1]),
+                    method="bilinear")
+            B, V = attn_feats.shape[:2]
+            Q = output.shape[1]
+            am = jnp.einsum("bqc,bvhwc->bvqhw", mask_embed, attn_feats)
             blocked = jax.nn.sigmoid(am) < 0.5          # True = blocked (:272)
             blocked = blocked.transpose(0, 2, 1, 3, 4).reshape(
                 B, Q, V * gh * gw)
@@ -227,6 +246,11 @@ class MaskTransformer(nn.Module):
         assert len(fpn_f) == c.num_feature_levels
 
         B, V, gh, gw, _ = fpn_f[0].shape
+        # Token-grid mask features for attention-mask computation (see
+        # prediction_heads): resized once, reused by every layer.
+        attn_feats = jax.image.resize(
+            mask_feats, (B, V, gh, gw, mask_feats.shape[-1]),
+            method="bilinear")
         src, pos = [], []
         for lvl, f in enumerate(fpn_f):
             if self.input_proj[lvl] is not None:
@@ -247,7 +271,8 @@ class MaskTransformer(nn.Module):
                                            (B, c.num_queries, c.hidden_dim))
 
         ocls, omask, attn_bias = self.prediction_heads(
-            output, mask_feats, cls_embeddings, (gh, gw))
+            output, mask_feats, cls_embeddings, (gh, gw),
+            attn_feats=attn_feats, need_mask=deep_supervision)
         if c.two_stage:
             output = jax.lax.stop_gradient(output)
 
@@ -267,8 +292,11 @@ class MaskTransformer(nn.Module):
             h = self.ffn_fc2[i](nn.relu(self.ffn_fc1[i](output)))
             output = self.ffn_norms[i](output + h)
 
+            last = i == c.dec_layers - 1
             ocls, omask, attn_bias = self.prediction_heads(
-                output, mask_feats, cls_embeddings, (gh, gw))
+                output, mask_feats, cls_embeddings,
+                None if last else (gh, gw), attn_feats=attn_feats,
+                need_mask=deep_supervision or last)
             pred_cls.append(ocls)
             pred_masks.append(omask)
 

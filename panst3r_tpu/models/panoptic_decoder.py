@@ -85,17 +85,20 @@ class PanopticDecoder(nn.Module):
     def __call__(self, in_feats: Sequence[jnp.ndarray], images: jnp.ndarray,
                  pos: jnp.ndarray, portrait: jnp.ndarray,
                  cls_embeddings: jnp.ndarray, grid: tuple[int, int],
-                 memory_queries: Optional[jnp.ndarray] = None):
+                 memory_queries: Optional[jnp.ndarray] = None,
+                 deep_supervision: Optional[bool] = None):
         """in_feats: tuple of (B, V, N, C_i) to concat (x_must3r, y_must3r,
         x_dino); images: (B, V, H, W, 3); pos: (B, V, N, 2); portrait:
         (B, V) bool; cls_embeddings: (num_classes, lang_dim); grid: static
         patch grid (gh, gw)."""
         fpn, mask_f = self._features(in_feats, images, pos, grid)
         cls_emb = self._cls_embeddings(cls_embeddings)
+        if deep_supervision is None:
+            deep_supervision = self.config.deep_supervision
 
         if memory_queries is None:
             return self.mask_transformer(
                 fpn, mask_f, cls_emb, portrait,
-                deep_supervision=self.config.deep_supervision)
+                deep_supervision=deep_supervision)
         return self.mask_transformer.decode_with_queries(
             memory_queries, mask_f, cls_emb)

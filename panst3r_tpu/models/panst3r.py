@@ -96,10 +96,11 @@ class PanSt3R(nn.Module):
         return pointmaps, feats
 
     def panoptic(self, in_feats, images, pos, portrait, cls_embeddings, grid,
-                 memory_queries=None):
+                 memory_queries=None, deep_supervision=None):
         return self.panoptic_decoder(in_feats, images, pos, portrait,
                                      cls_embeddings, grid,
-                                     memory_queries=memory_queries)
+                                     memory_queries=memory_queries,
+                                     deep_supervision=deep_supervision)
 
     # ---- full training forward (reference forward :286-296) ----
 
