@@ -16,7 +16,7 @@ from typing import Callable, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from panst3r_tpu.ops.attention import flash_attention
+from panst3r_tpu.ops.attention import flash_attention, flash_attention_rope2d
 from panst3r_tpu.ops.rope import apply_rope_2d
 
 
@@ -58,9 +58,10 @@ class SelfAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if pos is not None and self.rope_base is not None:
-            q = apply_rope_2d(q, pos, self.rope_base)
-            k = apply_rope_2d(k, pos, self.rope_base)
-        out = flash_attention(q, k, v, mask=mask)
+            out = flash_attention_rope2d(q, k, v, qpos=pos, kpos=pos,
+                                         mask=mask, base=self.rope_base)
+        else:
+            out = flash_attention(q, k, v, mask=mask)
         return nn.Dense(C, name="proj")(_merge_heads(out))
 
 
@@ -79,12 +80,18 @@ class CrossAttention(nn.Module):
         k = nn.Dense(C, use_bias=self.qkv_bias, name="projk")(key)
         v = nn.Dense(C, use_bias=self.qkv_bias, name="projv")(value)
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
-        if self.rope_base is not None:
-            if qpos is not None:
-                q = apply_rope_2d(q, qpos, self.rope_base)
-            if kpos is not None:
-                k = apply_rope_2d(k, kpos, self.rope_base)
-        out = flash_attention(q, k, v, bias=bias, mask=mask)
+        if (self.rope_base is not None and qpos is not None
+                and kpos is not None):
+            out = flash_attention_rope2d(q, k, v, qpos=qpos, kpos=kpos,
+                                         bias=bias, mask=mask,
+                                         base=self.rope_base)
+        else:
+            if self.rope_base is not None:
+                if qpos is not None:
+                    q = apply_rope_2d(q, qpos, self.rope_base)
+                if kpos is not None:
+                    k = apply_rope_2d(k, kpos, self.rope_base)
+            out = flash_attention(q, k, v, bias=bias, mask=mask)
         return nn.Dense(C, name="proj")(_merge_heads(out))
 
 

@@ -67,6 +67,30 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return dot_product_attention(q, k, v, bias=bias, mask=mask, scale=scale)
 
 
+def flash_attention_rope2d(q, k, v, qpos=None, kpos=None, bias=None,
+                           mask=None, scale=None, base: float = 100.0):
+    """Attention with 2D RoPE applied to q (by qpos) and k (by kpos).
+
+    TPU: fused Pallas kernel (rotation in VMEM — the cuRoPE replacement).
+    Elsewhere: jnp rotation + reference attention.  Positions may be None
+    on either side (e.g. memory keys already carry positions, queries not).
+    """
+    if _use_pallas() and qpos is not None and kpos is not None:
+        from panst3r_tpu.ops.pallas.flash_attention import pallas_mha_rope2d
+        try:
+            return pallas_mha_rope2d(q, k, v, qpos, kpos, bias=bias,
+                                     mask=mask, scale=scale, base=base)
+        except NotImplementedError:
+            pass
+    from panst3r_tpu.ops.rope import apply_rope_2d
+
+    if qpos is not None:
+        q = apply_rope_2d(q, qpos, base)
+    if kpos is not None:
+        k = apply_rope_2d(k, kpos, base)
+    return flash_attention(q, k, v, bias=bias, mask=mask, scale=scale)
+
+
 def memory_mask_bias(valid: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Additive bias blocking invalid memory slots.
 

@@ -35,8 +35,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, o_ref,
-            m_scr, l_scr, acc_scr, *, scale: float, nk_blocks: int):
+def _rot2d(x, d: int):
+    """rotate-half within each (y, x) half of the 2D-RoPE layout
+    (ops/rope.py apply_rope_2d); feature dims beyond ``d`` (lane padding)
+    come out zero — harmless since padded sin is zero anyway."""
+    qd = d // 4
+    rot = jnp.concatenate(
+        [-x[:, qd:2 * qd], x[:, :qd], -x[:, 3 * qd:d], x[:, 2 * qd:3 * qd]],
+        axis=-1)
+    pad = x.shape[-1] - d
+    if pad:
+        rot = jnp.concatenate(
+            [rot, jnp.zeros((x.shape[0], pad), x.dtype)], axis=-1)
+    return rot
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref,
+            qcos_ref, qsin_ref, kcos_ref, ksin_ref, o_ref,
+            m_scr, l_scr, acc_scr, *, scale: float, nk_blocks: int,
+            rope_d: int = 0):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -47,6 +64,11 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, o_ref,
 
     q = q_ref[0].astype(jnp.float32)            # (bq, d)
     k = k_ref[0].astype(jnp.float32)            # (bk, d)
+    if qcos_ref is not None:
+        # Fused 2D RoPE (cuRoPE replacement): rotate q/k in VMEM so the
+        # rotated tensors never materialize in HBM.
+        q = q * qcos_ref[0] + _rot2d(q, rope_d) * qsin_ref[0]
+        k = k * kcos_ref[0] + _rot2d(k, rope_d) * ksin_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
@@ -82,8 +104,10 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, o_ref,
         o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
 
 
-def _flash_fwd(q, k, v, bias, kv_valid, scale,
+def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
                block_q: int = 256, block_k: int = 512):
+    """rope: optional (qcos, qsin, kcos, ksin), each (B, N, D) fp32 —
+    fused 2D-RoPE tables (see pallas_mha_rope2d)."""
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     dtype = q.dtype
@@ -143,16 +167,37 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale,
     else:
         kvalid_in = False
 
+    rope_in = rope is not None
+    if rope_in:
+        qcos, qsin, kcos, ksin = rope
+        # Pad: cos→1, sin→0 so padded feature lanes pass through untouched.
+        def pad_tab(t, n_target, one):
+            t = t.astype(jnp.float32)
+            t = jnp.pad(t, ((0, 0), (0, n_target - t.shape[1]),
+                            (0, Dp - D)), constant_values=1.0 if one else 0.0)
+            return t
+        args += [pad_tab(qcos, Nqp, True), pad_tab(qsin, Nqp, False),
+                 pad_tab(kcos, Nkp, True), pad_tab(ksin, Nkp, False)]
+        in_specs += [
+            pl.BlockSpec((1, block_q, Dp), lambda b, i, j, H=H: (b // H, i, 0)),
+            pl.BlockSpec((1, block_q, Dp), lambda b, i, j, H=H: (b // H, i, 0)),
+            pl.BlockSpec((1, block_k, Dp), lambda b, i, j, H=H: (b // H, j, 0)),
+            pl.BlockSpec((1, block_k, Dp), lambda b, i, j, H=H: (b // H, j, 0)),
+        ]
+
     def kernel(*refs):
         idx = 3
         bias_ref = refs[idx] if bias_in else None
         idx += int(bias_in)
         kvalid_ref = refs[idx] if kvalid_in else None
         idx += int(kvalid_in)
+        rope_refs = refs[idx:idx + 4] if rope_in else (None,) * 4
+        idx += 4 * int(rope_in)
         o_ref = refs[idx]
         m_scr, l_scr, acc_scr = refs[idx + 1:idx + 4]
-        _kernel(refs[0], refs[1], refs[2], bias_ref, kvalid_ref, o_ref,
-                m_scr, l_scr, acc_scr, scale=scale, nk_blocks=nk_blocks)
+        _kernel(refs[0], refs[1], refs[2], bias_ref, kvalid_ref,
+                *rope_refs, o_ref, m_scr, l_scr, acc_scr, scale=scale,
+                nk_blocks=nk_blocks, rope_d=D if rope_in else 0)
 
     out = pl.pallas_call(
         kernel,
@@ -206,6 +251,71 @@ def _mha_bwd(scale, res, g):
 
 
 _pallas_mha.defvjp(_mha_fwd, _mha_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _pallas_mha_rope(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, scale):
+    return _flash_fwd(q, k, v, bias, kv_valid, scale,
+                      rope=(qcos, qsin, kcos, ksin))
+
+
+def _mha_rope_fwd(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, scale):
+    out = _flash_fwd(q, k, v, bias, kv_valid, scale,
+                     rope=(qcos, qsin, kcos, ksin))
+    return out, (q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin)
+
+
+def _mha_rope_bwd(scale, res, g):
+    from panst3r_tpu.ops.rope import apply_rope_tables
+
+    q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin = res
+
+    def ref(q, k, v, bias):
+        qr = apply_rope_tables(q, qcos, qsin)
+        kr = apply_rope_tables(k, kcos, ksin)
+        mask = kv_valid[:, None, None, :] if kv_valid is not None else None
+        return dot_product_attention(qr, kr, v, bias=bias, mask=mask,
+                                     scale=scale)
+
+    if bias is not None:
+        _, vjp = jax.vjp(ref, q, k, v, bias)
+        dq, dk, dv, db = vjp(g)
+    else:
+        _, vjp = jax.vjp(lambda q, k, v: ref(q, k, v, None), q, k, v)
+        dq, dk, dv = vjp(g)
+        db = None
+    zeros = (jnp.zeros_like(qcos), jnp.zeros_like(qsin),
+             jnp.zeros_like(kcos), jnp.zeros_like(ksin))
+    return (dq, dk, dv, db, None, *zeros)
+
+
+_pallas_mha_rope.defvjp(_mha_rope_fwd, _mha_rope_bwd)
+
+
+def pallas_mha_rope2d(q, k, v, qpos, kpos, bias=None, mask=None, scale=None,
+                      base: float = 100.0):
+    """Fused 2D-RoPE + flash attention (the cuRoPE+xFormers replacement,
+    BASELINE north-star kernel): q/k are rotated by their integer patch
+    positions inside the kernel; rotated tensors never touch HBM.
+    qpos: (B, Nq, 2); kpos: (B, Nk, 2)."""
+    from panst3r_tpu.ops.rope import rope2d_tables
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    D = q.shape[-1]
+    qcos, qsin = rope2d_tables(qpos, D, base)
+    kcos, ksin = rope2d_tables(kpos, D, base)
+    kv_valid = None
+    if mask is not None:
+        if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1:
+            kv_valid = mask[:, 0, 0, :]
+            mask = None
+        else:
+            mb = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
+            bias = mb if bias is None else bias + mb
+            mask = None
+    return _pallas_mha_rope(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin,
+                            scale)
 
 
 def pallas_mha(q, k, v, bias=None, mask=None, scale=None):

@@ -72,6 +72,36 @@ def apply_rope_2d(tokens: jnp.ndarray, positions: jnp.ndarray,
     return jnp.concatenate([y_tok, x_tok], axis=-1)
 
 
+def rope2d_tables(positions: jnp.ndarray, dim: int, base: float = 100.0,
+                  dtype=jnp.float32):
+    """Full-width cos/sin tables for 2D RoPE (table form used by the fused
+    Pallas kernel): cos/sin (B, N, dim) with the y-axis tables in the first
+    half and x-axis in the second."""
+    cos_y, sin_y = rope_cos_sin(positions[..., 0], dim // 2, base, dtype)
+    cos_x, sin_x = rope_cos_sin(positions[..., 1], dim // 2, base, dtype)
+    return (jnp.concatenate([cos_y, cos_x], -1),
+            jnp.concatenate([sin_y, sin_x], -1))
+
+
+def _rotate_half_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """rotate_half applied within each (y, x) half of the last dim."""
+    d = x.shape[-1]
+    q = d // 4
+    return jnp.concatenate(
+        [-x[..., q:2 * q], x[..., :q], -x[..., 3 * q:], x[..., 2 * q:3 * q]],
+        axis=-1)
+
+
+def apply_rope_tables(tokens: jnp.ndarray, cos: jnp.ndarray,
+                      sin: jnp.ndarray) -> jnp.ndarray:
+    """Table form of apply_rope_2d: tokens (B, H, N, D), cos/sin (B, N, D).
+    Identical to apply_rope_2d(tokens, positions) when the tables come from
+    rope2d_tables(positions)."""
+    cos = cos[:, None].astype(tokens.dtype)
+    sin = sin[:, None].astype(tokens.dtype)
+    return tokens * cos + _rotate_half_2d(tokens) * sin
+
+
 class Rope2D:
     """Callable wrapper mirroring the reference's rope object interface."""
 
