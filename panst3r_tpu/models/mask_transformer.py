@@ -178,15 +178,16 @@ class MaskTransformer(nn.Module):
             "bqc,nc->bqn", lang, cls_embeddings)
 
     def prediction_heads(self, output, mask_feats, cls_embeddings,
-                         attn_grid: Optional[tuple[int, int]] = None,
-                         attn_feats: Optional[jnp.ndarray] = None,
+                         attn_grids=None, attn_feats=None,
                          need_mask: bool = True):
-        """output: (B, Q, C); mask_feats: (B, V, Hm, Wm, mask_dim).
+        """output: (B, Q, C); mask_feats: (B, V, Hm, Wm, mask_dim) or a list
+        of such per resolution bucket (the reference's multi-AR lists,
+        mask_transformer.py:130-146,215-277).
 
         Returns (outputs_class (B, Q, num_cls),
-                 outputs_mask (B, V, Q, Hm, Wm) or None,
-                 attn_bias (B, heads, Q, V*gh*gw) or None).
-        Reference forward_prediction_heads (:215-277).
+                 outputs_mask — same structure as mask_feats, per bucket
+                 (B, V_b, Q, Hm_b, Wm_b), or None,
+                 attn_bias (B, heads, Q, Σ_b V_b·gh_b·gw_b) or None).
 
         TPU optimization: the reference computes the full-resolution mask
         einsum every layer then bilinearly downsamples it for the attention
@@ -198,34 +199,45 @@ class MaskTransformer(nn.Module):
         (final layer, and every layer under deep supervision).
         """
         c = self.config
+        single = not isinstance(mask_feats, (list, tuple))
+        mf_list = [mask_feats] if single else list(mask_feats)
+
         dec_out = self.decoder_norm(output)
         outputs_class = self._class_logits(dec_out, cls_embeddings)
         mask_embed = self.mask_embed(dec_out)
         outputs_mask = None
         if need_mask:
-            outputs_mask = jnp.einsum("bqc,bvhwc->bvqhw", mask_embed,
-                                      mask_feats)
+            outputs_mask = [jnp.einsum("bqc,bvhwc->bvqhw", mask_embed, mf)
+                            for mf in mf_list]
+            if single:
+                outputs_mask = outputs_mask[0]
 
         attn_bias = None
-        if attn_grid is not None:
-            gh, gw = attn_grid
+        if attn_grids is not None:
+            if not isinstance(attn_grids, list):
+                attn_grids = [attn_grids]
             if attn_feats is None:
-                B, V, Hm, Wm, _ = mask_feats.shape
-                attn_feats = jax.image.resize(
-                    mask_feats, (B, V, gh, gw, mask_feats.shape[-1]),
-                    method="bilinear")
-            B, V = attn_feats.shape[:2]
+                attn_feats = [
+                    jax.image.resize(mf, (*mf.shape[:2], gh, gw,
+                                          mf.shape[-1]), method="bilinear")
+                    for mf, (gh, gw) in zip(mf_list, attn_grids)]
+            B = mf_list[0].shape[0]
             Q = output.shape[1]
-            am = jnp.einsum("bqc,bvhwc->bvqhw", mask_embed, attn_feats)
-            blocked = jax.nn.sigmoid(am) < 0.5          # True = blocked (:272)
-            blocked = blocked.transpose(0, 2, 1, 3, 4).reshape(
-                B, Q, V * gh * gw)
+            blocked_parts = []
+            for af in attn_feats:
+                am = jnp.einsum("bqc,bvhwc->bvqhw", mask_embed, af)
+                bl = jax.nn.sigmoid(am) < 0.5           # True = blocked (:272)
+                _, Vb, _, ghb, gwb = bl.shape
+                blocked_parts.append(
+                    bl.transpose(0, 2, 1, 3, 4).reshape(B, Q,
+                                                        Vb * ghb * gwb))
+            blocked = jnp.concatenate(blocked_parts, axis=-1)
             # Fully-blocked rows attend everywhere (:172).
             all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
             blocked = jnp.where(all_blocked, False, blocked)
             attn_bias = jnp.where(blocked, _NEG_INF, 0.0)[:, None]
             attn_bias = jax.lax.stop_gradient(jnp.broadcast_to(
-                attn_bias, (B, c.num_heads, Q, V * gh * gw)))
+                attn_bias, (B, c.num_heads, Q, blocked.shape[-1])))
         return outputs_class, outputs_mask, attn_bias
 
     def decode_with_queries(self, memory_queries, mask_feats, cls_embeddings):
@@ -236,30 +248,53 @@ class MaskTransformer(nn.Module):
         return {"pred_logits": ocls, "pred_masks": omask,
                 "out_queries": memory_queries}
 
-    def __call__(self, fpn_f: Sequence[jnp.ndarray], mask_feats: jnp.ndarray,
-                 cls_embeddings: jnp.ndarray, portrait: jnp.ndarray,
+    def __call__(self, fpn_f: Sequence, mask_feats,
+                 cls_embeddings: jnp.ndarray, portrait,
                  deep_supervision: bool = True):
-        """fpn_f: per-level (B, V, gh, gw, C); mask_feats:
-        (B, V, Hm, Wm, mask_dim); cls_embeddings: (num_cls, lang_dim);
-        portrait: (B, V) bool."""
+        """fpn_f: per-level (B, V, gh, gw, C) — or per-level *lists* over
+        resolution buckets; mask_feats: (B, V, Hm, Wm, mask_dim) or list;
+        portrait: (B, V) bool or list.  Multi-bucket inputs are jointly
+        decoded: all buckets' tokens concatenate into one cross-attention
+        context (the reference's multi-AR joint prediction,
+        mask_transformer.py:130-146)."""
         c = self.config
         assert len(fpn_f) == c.num_feature_levels
 
-        B, V, gh, gw, _ = fpn_f[0].shape
+        single = not isinstance(fpn_f[0], (list, tuple))
+        fpn_b = [[f] for f in fpn_f] if single else [list(f) for f in fpn_f]
+        mf_list = [mask_feats] if single else list(mask_feats)
+        port_list = [portrait] if single else list(portrait)
+        n_buckets = len(fpn_b[0])
+
+        B = fpn_b[0][0].shape[0]
+        grids = [(f.shape[2], f.shape[3]) for f in fpn_b[0]]
         # Token-grid mask features for attention-mask computation (see
         # prediction_heads): resized once, reused by every layer.
-        attn_feats = jax.image.resize(
-            mask_feats, (B, V, gh, gw, mask_feats.shape[-1]),
-            method="bilinear")
+        attn_feats = [
+            jax.image.resize(mf, (*mf.shape[:2], gh, gw, mf.shape[-1]),
+                             method="bilinear")
+            for mf, (gh, gw) in zip(mf_list, grids)]
+
         src, pos = [], []
-        for lvl, f in enumerate(fpn_f):
-            if self.input_proj[lvl] is not None:
-                f = self.input_proj[lvl](f)
-            src.append(f.reshape(B, V * gh * gw, c.hidden_dim)
-                       + self.level_embed[lvl])
-            pe = pe_with_portrait(gh, gw, c.hidden_dim // 2, portrait)
-            pos.append(pe.reshape(B, V * gh * gw, c.hidden_dim)
-                       .astype(f.dtype))
+        for lvl in range(c.num_feature_levels):
+            src_parts, pos_parts = [], []
+            for bkt in range(n_buckets):
+                f = fpn_b[lvl][bkt]
+                _, V, gh, gw, _ = f.shape
+                if self.input_proj[lvl] is not None:
+                    f = self.input_proj[lvl](f)
+                src_parts.append(f.reshape(B, V * gh * gw, c.hidden_dim)
+                                 + self.level_embed[lvl])
+                pe = pe_with_portrait(gh, gw, c.hidden_dim // 2,
+                                      port_list[bkt])
+                pos_parts.append(pe.reshape(B, V * gh * gw, c.hidden_dim)
+                                 .astype(f.dtype))
+            src.append(jnp.concatenate(src_parts, axis=1))
+            pos.append(jnp.concatenate(pos_parts, axis=1))
+
+        mask_feats = mf_list if not single else mf_list[0]
+        attn_grids = grids if not single else grids[0]
+        attn_feats_arg = attn_feats
 
         if c.two_stage:
             output, query_embed = self._query_selection(src, pos,
@@ -271,8 +306,8 @@ class MaskTransformer(nn.Module):
                                            (B, c.num_queries, c.hidden_dim))
 
         ocls, omask, attn_bias = self.prediction_heads(
-            output, mask_feats, cls_embeddings, (gh, gw),
-            attn_feats=attn_feats, need_mask=deep_supervision)
+            output, mask_feats, cls_embeddings, attn_grids,
+            attn_feats=attn_feats_arg, need_mask=deep_supervision)
         if c.two_stage:
             output = jax.lax.stop_gradient(output)
 
@@ -295,7 +330,7 @@ class MaskTransformer(nn.Module):
             last = i == c.dec_layers - 1
             ocls, omask, attn_bias = self.prediction_heads(
                 output, mask_feats, cls_embeddings,
-                None if last else (gh, gw), attn_feats=attn_feats,
+                None if last else attn_grids, attn_feats=attn_feats_arg,
                 need_mask=deep_supervision or last)
             pred_cls.append(ocls)
             pred_masks.append(omask)

@@ -91,7 +91,22 @@ class PanopticDecoder(nn.Module):
         x_dino); images: (B, V, H, W, 3); pos: (B, V, N, 2); portrait:
         (B, V) bool; cls_embeddings: (num_classes, lang_dim); grid: static
         patch grid (gh, gw)."""
-        fpn, mask_f = self._features(in_feats, images, pos, grid)
+        multi_bucket = isinstance(images, (list, tuple))
+        if multi_bucket:
+            # Per-bucket feature extraction; joint decoding downstream
+            # (the reference's multi-AR path, panoptic_decoder.py:44-47 +
+            # mask_transformer multi-AR assembly).
+            fpn_b, mask_f = [], []
+            for feats_b, img_b, pos_b, grid_b in zip(
+                    zip(*in_feats), images, pos, grid):
+                fpn_i, mf_i = self._features(feats_b, img_b, pos_b, grid_b)
+                fpn_b.append(fpn_i)
+                mask_f.append(mf_i)
+            # levels × buckets
+            fpn = [[fpn_b[bkt][lvl] for bkt in range(len(fpn_b))]
+                   for lvl in range(len(fpn_b[0]))]
+        else:
+            fpn, mask_f = self._features(in_feats, images, pos, grid)
         cls_emb = self._cls_embeddings(cls_embeddings)
         if deep_supervision is None:
             deep_supervision = self.config.deep_supervision
