@@ -1,8 +1,11 @@
 """Per-stage timing of the flagship inference pipeline on the real chip."""
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
