@@ -28,13 +28,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("true_shape", "label_mode"))
 def _fusion_scores(mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
                    temperature):
-    """Shared prep: upsampled sigmoid masks + per-query scores/labels."""
+    """Shared prep: upsampled sigmoid masks + per-query scores/labels.
+
+    Mask math runs in bf16 (sigmoid probabilities in [0,1] — well within
+    bf16 range; area sums accumulate in f32 downstream).
+    """
     B, V, Q = mask_pred.shape[:3]
     H, W = true_shape
-    masks = jax.nn.sigmoid(mask_pred.astype(jnp.float32))
+    masks = jax.nn.sigmoid(mask_pred.astype(jnp.float32)).astype(jnp.bfloat16)
     masks = jax.image.resize(masks, (B, V, Q, H, W), method="bilinear")
 
     if label_mode == "sigmoid":
@@ -66,15 +69,13 @@ def panoptic_fusion(mask_cls, mask_pred, true_shape: tuple[int, int],
     Returns list of per-scene dicts {'pan': (V, H, W) int32 segment ids,
     'segments_info': [{'id', 'query_id', 'category_id'}...], 'conf'}.
     """
-    masks, scores, labels, keep = _fusion_scores(
+    pan, conf, seg_ids, seg_cls, seg_valid = _fusion_full(
         mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
-        temperature)
-    pan, conf, seg_ids, seg_cls, seg_valid = _fusion_iters(
-        masks, scores, keep, labels, mask_threshold, overlap_threshold,
-        niters, void_confidence)
+        temperature, mask_threshold, overlap_threshold, niters,
+        void_confidence)
 
     results = []
-    for b in range(masks.shape[0]):
+    for b in range(mask_cls.shape[0]):
         infos = []
         ids = np.asarray(seg_ids[b])
         cls = np.asarray(seg_cls[b])
@@ -89,14 +90,27 @@ def panoptic_fusion(mask_cls, mask_pred, true_shape: tuple[int, int],
     return results
 
 
-@functools.partial(jax.jit, static_argnames=("niters",))
+@functools.partial(jax.jit, static_argnames=("true_shape", "label_mode",
+                                             "niters"))
+def _fusion_full(mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
+                 temperature, mask_threshold, overlap_threshold, niters,
+                 void_confidence):
+    """One fused program: score prep + iterations (the big (B,V,Q,H,W)
+    sigmoid-mask tensor stays bf16 and never round-trips HBM in fp32)."""
+    masks, scores, labels, keep = _fusion_scores(
+        mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
+        temperature)
+    return _fusion_iters(masks, scores, keep, labels, mask_threshold,
+                         overlap_threshold, niters, void_confidence)
+
+
 def _fusion_iters(masks, scores, keep, labels, mask_threshold,
                   overlap_threshold, niters, void_confidence):
     B, V, Q, H, W = masks.shape
     # (B, Q, V, H, W) prob-weighted masks; dropped queries → -inf so they
     # never win the argmax (reference keeps only `keep` rows; equivalent).
     pm = masks.transpose(0, 2, 1, 3, 4)
-    prob_masks = pm * scores[:, :, None, None, None]
+    prob_masks = pm * scores.astype(pm.dtype)[:, :, None, None, None]
 
     alive = keep
     win_mask = selected = None
@@ -125,7 +139,8 @@ def _fusion_iters(masks, scores, keep, labels, mask_threshold,
                      seg_ids.astype(jnp.int32),
                      preferred_element_type=jnp.int32)
     conf_val = jnp.einsum("bqvhw,bqvhw->bvhw", win_sel.astype(pm.dtype), pm)
-    conf = jnp.where(win_sel.any(axis=1), conf_val, void_confidence)
+    conf = jnp.where(win_sel.any(axis=1), conf_val.astype(jnp.float32),
+                     void_confidence)
     return pan, conf, seg_ids, labels, selected
 
 

@@ -69,6 +69,7 @@ class InferenceEngine:
                 if isinstance(p, jnp.ndarray) and
                 jnp.issubdtype(p.dtype, jnp.floating) else p,
                 self.params)
+        self._fused_cache: dict = {}
         self._build_stage_fns()
 
     def _build_stage_fns(self):
@@ -174,6 +175,90 @@ class InferenceEngine:
         return jnp.concatenate(pms), jnp.concatenate(ys)
 
     # ------------------------------------------------------------------
+
+    def run_fused(self, images, portrait, cls_embeddings,
+                  num_keyframes: Optional[int] = None) -> dict:
+        """Whole pipeline as ONE jitted program (max fusion, min dispatch).
+
+        Keyframes are the static linspace selection; the entire
+        encode→memory→render→DINO→panoptic graph compiles into a single
+        XLA executable per (V, K, bucket) — the TPU-idiomatic endpoint for
+        fixed-shape serving.  Returns device arrays like run_device.
+        """
+        V = images.shape[0]
+        K = min(num_keyframes or self.num_keyframes, V)
+        key = (V, K)
+        if key not in self._fused_cache:
+            self._fused_cache[key] = self._make_fused(V, K)
+        cls_emb = jnp.asarray(cls_embeddings)
+        if self.amp:
+            cls_emb = cls_emb.astype(jnp.bfloat16)
+        out = self._fused_cache[key](self.params, jnp.asarray(images),
+                                     jnp.asarray(portrait), cls_emb)
+        out["keyframes"] = select_keyframes_linspace(V, K)
+        return out
+
+    def _make_fused(self, V: int, K: int):
+        model, grid, n_tokens = self.model, self.grid, self.n_tokens
+        c = model.config
+        cast = (lambda x: x.astype(jnp.bfloat16)) if self.amp else (
+            lambda x: x)
+        keyframes = select_keyframes_linspace(V, K)
+        not_keyframes = sorted(set(range(V)) - set(keyframes))
+        order = list(keyframes) + not_keyframes
+        inv = np.argsort(order)
+        dtype = jnp.bfloat16 if self.amp else jnp.float32
+
+        def pipeline(params, images, portrait, cls_emb):
+            images = cast(images)
+            x, pos = model.apply(params, images[:, None],
+                                 method=PanSt3R.encode)
+            x, pos = x[:, 0], pos[:, 0]
+            dino = model.apply(params, images[:, None],
+                               method=PanSt3R.encode_dino)[:, 0]
+
+            kf = jnp.asarray(keyframes)
+            mem = memlib.init_memory(c.decoder.depth, 1, K * n_tokens,
+                                     c.decoder.dim, dtype=dtype)
+            start = 0
+            for nb in c.mem_batches(K):
+                sel = jnp.asarray(keyframes[start:start + nb])
+                mem, _, _ = model.apply(params, x[sel][None],
+                                        pos[sel][None], mem, grid,
+                                        method=PanSt3R.decoder_update)
+                start += nb
+
+            # Render ALL views against the frozen memory in one call.
+            pm, y = model.apply(params, x[None], pos[None], mem, grid,
+                                method=PanSt3R.decoder_render)
+            pm, y = pm[0], y[0]
+
+            panout_kf = model.apply(
+                params, (x[kf][None], y[kf][None], dino[kf][None]),
+                images[kf][None], pos[kf][None], portrait[kf][None],
+                cls_emb, grid, deep_supervision=False,
+                method=PanSt3R.panoptic)
+
+            masks = [panout_kf["pred_masks"][0]]
+            if not_keyframes:
+                nk = jnp.asarray(not_keyframes)
+                panout_nk = model.apply(
+                    params, (x[nk][None], y[nk][None], dino[nk][None]),
+                    images[nk][None], pos[nk][None], portrait[nk][None],
+                    cls_emb, grid,
+                    memory_queries=panout_kf["out_queries"],
+                    method=PanSt3R.panoptic)
+                masks.append(panout_nk["pred_masks"][0])
+
+            inv_d = jnp.asarray(inv)
+            return {
+                "pointmaps_raw": pm,                  # already input order
+                "pred_logits": panout_kf["pred_logits"][0],
+                "pred_masks": jnp.concatenate(masks)[inv_d],
+                "out_queries": panout_kf["out_queries"][0],
+            }
+
+        return jax.jit(pipeline)
 
     def run_device(self, images: np.ndarray, portrait: np.ndarray,
                    cls_embeddings: np.ndarray,

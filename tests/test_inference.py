@@ -70,6 +70,22 @@ def test_engine_amp_runs(rng):
     assert out["pointmaps"]["pts3d"].dtype == np.float32
 
 
+def test_run_fused_matches_run_device(rng):
+    model, params, images, portrait, cls_emb = _setup(rng, V=5)
+    engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=3,
+                             chunk=2, amp=False)
+    a = engine.run_device(images, portrait, cls_emb)
+    b = engine.run_fused(images, portrait, cls_emb)
+    assert a["keyframes"] == b["keyframes"]
+    np.testing.assert_allclose(np.asarray(a["pointmaps_raw"]),
+                               np.asarray(b["pointmaps_raw"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a["pred_logits"]),
+                               np.asarray(b["pred_logits"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(a["pred_masks"]),
+                               np.asarray(b["pred_masks"]), atol=1e-2,
+                               rtol=1e-2)
+
+
 def test_engine_retrieval_keyframes(rng):
     model, params, images, portrait, cls_emb = _setup(rng, V=6)
     engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=3,
