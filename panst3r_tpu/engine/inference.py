@@ -371,3 +371,199 @@ class InferenceEngine:
             out_device["pred_logits"][None].astype(jnp.float32),
             out_device["pred_masks"][None].astype(jnp.float32),
             true_shape, **fusion_kw)
+
+
+class MultiBucketEngine:
+    """Inference over scenes with mixed aspect-ratio buckets.
+
+    The reference handles arbitrary per-view resolutions with tensor lists
+    (`stack_views`/`unstack_tensors`, panst3r.py:212-216,257-261); here
+    views group into resolution buckets, each bucket gets its own compiled
+    stage functions (one InferenceEngine), and everything meets in:
+
+    - a SHARED token memory (tokens from different grids coexist in the
+      flat capacity axis with their own 2D positions), and
+    - the joint multi-bucket mask-transformer decode
+      (models/mask_transformer.py multi-AR support).
+    """
+
+    def __init__(self, model: PanSt3R, params: dict, num_keyframes: int = 16,
+                 chunk: int = 4, amp: bool = True):
+        self.model = model
+        self.num_keyframes = num_keyframes
+        self.chunk = chunk
+        self.amp = amp
+        self._engines: dict[Bucket, InferenceEngine] = {}
+        # Share one amp-cast params tree across all bucket engines.
+        if amp:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if isinstance(p, jnp.ndarray) and
+                jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+        self.params = params
+        self._panoptic_multi = {}
+
+    def _engine(self, bucket: Bucket) -> InferenceEngine:
+        if bucket not in self._engines:
+            eng = InferenceEngine.__new__(InferenceEngine)
+            eng.model = self.model
+            eng.params = self.params  # already cast — skip __post_init__
+            eng.bucket = bucket
+            eng.num_keyframes = self.num_keyframes
+            eng.chunk = self.chunk
+            eng.amp = self.amp
+            eng.grid = bucket.grid(self.model.config.encoder.patch_size)
+            eng.n_tokens = eng.grid[0] * eng.grid[1]
+            eng._fused_cache = {}
+            eng._build_stage_fns()
+            self._engines[bucket] = eng
+        return self._engines[bucket]
+
+    def _panoptic_joint_multi(self, composition, feats, images, pos,
+                              portrait, cls_emb):
+        if composition not in self._panoptic_multi:
+            model = self.model
+            grids = [b.grid(model.config.encoder.patch_size)
+                     for b, _ in composition]
+            cast = (lambda x: x.astype(jnp.bfloat16)) if self.amp \
+                else (lambda x: x)
+
+            @jax.jit
+            def fn(params, feats, images, pos, portrait, cls_emb):
+                out = model.apply(params, feats,
+                                  [cast(im) for im in images], pos,
+                                  portrait, cls_emb, grids,
+                                  deep_supervision=False,
+                                  method=PanSt3R.panoptic)
+                return {"pred_logits": out["pred_logits"],
+                        "pred_masks": out["pred_masks"],
+                        "out_queries": out["out_queries"]}
+
+            self._panoptic_multi[composition] = fn
+        return self._panoptic_multi[composition](
+            self.params, feats, images, pos, portrait, cls_emb)
+
+    def run(self, images: Sequence[np.ndarray], portrait: np.ndarray,
+            cls_embeddings: np.ndarray,
+            num_keyframes: Optional[int] = None) -> dict:
+        """images: per-view (H_i, W_i, 3) arrays, each in some bucket shape;
+        portrait: (V,) bool.  Returns per-view outputs in input order:
+        {pointmaps_raw: list, pred_masks: list, pred_logits, keyframes}.
+        """
+        from panst3r_tpu.models import memory as memlib
+
+        V = len(images)
+        K = min(num_keyframes or self.num_keyframes, V)
+        cls_emb = jnp.asarray(cls_embeddings)
+        if self.amp:
+            cls_emb = cls_emb.astype(jnp.bfloat16)
+        c = self.model.config
+
+        buckets = [Bucket(*im.shape[:2]) for im in images]
+        keyframes = select_keyframes_linspace(V, K)
+        kf_set = set(keyframes)
+
+        # Encode per view (grouped by bucket for chunking simplicity).
+        enc = {}
+        for i, im in enumerate(images):
+            eng = self._engine(buckets[i])
+            x, pos = eng._encode_all(im[None])
+            enc[i] = (x[0], pos[0])
+
+        # Shared memory: capacity = total keyframe tokens across buckets.
+        capacity = sum(self._engine(buckets[i]).n_tokens for i in keyframes)
+        dtype = jnp.bfloat16 if self.amp else jnp.float32
+        mem = memlib.init_memory(c.decoder.depth, 1, capacity,
+                                 c.decoder.dim, dtype=dtype)
+        # Inject keyframes grouped by bucket: same-bucket keyframes batch
+        # into the [init, +1, ...] schedule per group.
+        by_bucket: dict[Bucket, list[int]] = {}
+        for i in keyframes:
+            by_bucket.setdefault(buckets[i], []).append(i)
+        for bucket, idxs in by_bucket.items():
+            eng = self._engine(bucket)
+            x = jnp.stack([enc[i][0] for i in idxs])
+            pos = jnp.stack([enc[i][1] for i in idxs])
+            start = 0
+            for nb in c.mem_batches(len(idxs)):
+                mem, _ = eng._update(self.params,
+                                     x[None, start:start + nb], mem,
+                                     pos[None, start:start + nb])
+                start += nb
+
+        # Render + DINO per bucket group (keyframes first).
+        def render_group(idxs):
+            bucket_groups: dict[Bucket, list[int]] = {}
+            for i in idxs:
+                bucket_groups.setdefault(buckets[i], []).append(i)
+            outs = {}
+            for bucket, gidx in bucket_groups.items():
+                eng = self._engine(bucket)
+                x = jnp.stack([enc[i][0] for i in gidx])
+                pos = jnp.stack([enc[i][1] for i in gidx])
+                pm, y = eng._render_chunked(x, pos, mem)
+                imgs = np.stack([images[i] for i in gidx])
+                dino = eng._dino_chunked(imgs)
+                for j, i in enumerate(gidx):
+                    outs[i] = (pm[j], y[j], dino[j])
+            return bucket_groups, outs
+
+        kf_groups, kf_out = render_group(keyframes)
+
+        # Joint multi-bucket panoptic decode over keyframes.
+        composition = tuple((b, len(ix)) for b, ix in kf_groups.items())
+        feats, imgs_l, pos_l, port_l = [], [], [], []
+        for bucket, gidx in kf_groups.items():
+            x = jnp.stack([enc[i][0] for i in gidx])[None]
+            y = jnp.stack([kf_out[i][1] for i in gidx])[None]
+            d = jnp.stack([kf_out[i][2] for i in gidx])[None]
+            feats.append((x, y, d))
+            imgs_l.append(jnp.asarray(
+                np.stack([images[i] for i in gidx]))[None])
+            pos_l.append(jnp.stack([enc[i][1] for i in gidx])[None])
+            port_l.append(jnp.asarray(
+                [portrait[i] for i in gidx])[None])
+        feats_by_kind = tuple(
+            [f[k] for f in feats] for k in range(3))  # (x_list, y_list, d_list)
+        panout = self._panoptic_joint_multi(
+            composition, tuple(feats_by_kind), imgs_l, pos_l, port_l,
+            cls_emb)
+
+        pred_masks: dict[int, np.ndarray] = {}
+        kf_order = [i for _, gidx in kf_groups.items() for i in gidx]
+        for b_i, (bucket, gidx) in enumerate(kf_groups.items()):
+            for j, i in enumerate(gidx):
+                pred_masks[i] = np.asarray(panout["pred_masks"][b_i][0, j],
+                                           np.float32)
+
+        # Non-keyframes: render + frozen-query decode per bucket.
+        not_kf = [i for i in range(V) if i not in kf_set]
+        if not_kf:
+            nk_groups, nk_out = render_group(not_kf)
+            for bucket, gidx in nk_groups.items():
+                eng = self._engine(bucket)
+                x = jnp.stack([enc[i][0] for i in gidx])[None]
+                y = jnp.stack([nk_out[i][1] for i in gidx])[None]
+                d = jnp.stack([nk_out[i][2] for i in gidx])[None]
+                imgs = jnp.asarray(np.stack([images[i] for i in gidx]))[None]
+                pos = jnp.stack([enc[i][1] for i in gidx])[None]
+                port = jnp.asarray([portrait[i] for i in gidx])[None]
+                out_i = eng._panoptic_queries(
+                    self.params, (x, y, d), imgs, pos, port, cls_emb,
+                    panout["out_queries"])
+                for j, i in enumerate(gidx):
+                    pred_masks[i] = np.asarray(out_i["pred_masks"][0, j],
+                                               np.float32)
+            all_out = {**kf_out, **nk_out}
+        else:
+            all_out = kf_out
+
+        pointmaps = [np.asarray(all_out[i][0], np.float32)
+                     for i in range(V)]
+        return {
+            "pointmaps_raw": pointmaps,
+            "pred_logits": np.asarray(panout["pred_logits"][0], np.float32),
+            "pred_masks": [pred_masks[i] for i in range(V)],
+            "out_queries": np.asarray(panout["out_queries"][0]),
+            "keyframes": keyframes,
+        }
