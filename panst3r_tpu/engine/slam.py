@@ -200,6 +200,7 @@ class FrontendState:
     mem: object
     keyframe_ids: list
     kf_descriptors: list       # pooled encoder descriptors per keyframe
+    slots: list = dataclasses.field(default_factory=list)  # memory slot/kf
     frame_count: int = 0
 
 
@@ -215,11 +216,15 @@ class IncrementalFrontend:
     """
 
     def __init__(self, engine, sim_threshold: float = 0.85,
-                 max_interval: int = 10, max_keyframes: int = 64):
+                 max_interval: int = 10, max_keyframes: int = 64,
+                 protected: int = 2):
         self.engine = engine
         self.sim_threshold = sim_threshold
         self.max_interval = max_interval
         self.max_keyframes = max_keyframes
+        # First `protected` keyframes are never evicted — the gauge anchors
+        # (reference mem_protected_imgs semantics, engine/must3r.py:76-80).
+        self.protected = protected
         self.state: Optional[FrontendState] = None
         self._since_kf = 0
 
@@ -259,6 +264,7 @@ class IncrementalFrontend:
             self.state.mem = mem
             self.state.keyframe_ids.append(frame_id)
             self.state.kf_descriptors.append(desc)
+            self.state.slots = [0, 1]
             pm, _ = eng._render(eng.params, x[None], pos[None], mem)
             return {"is_keyframe": True, "pointmaps_raw": np.asarray(pm[0, 0])}
 
@@ -271,13 +277,33 @@ class IncrementalFrontend:
         sims = jnp.stack([jnp.dot(desc, d)
                           for d in self.state.kf_descriptors])
         novel = float(sims.max()) < self.sim_threshold
-        make_kf = ((novel or self._since_kf >= self.max_interval)
-                   and len(self.state.keyframe_ids) < self.max_keyframes)
+        make_kf = novel or self._since_kf >= self.max_interval
         if make_kf:
-            self.state.mem, _ = eng._update(eng.params, x[None],
-                                            self.state.mem, pos[None])
-            self.state.keyframe_ids.append(frame_id)
-            self.state.kf_descriptors.append(desc)
+            st = self.state
+            if len(st.keyframe_ids) >= self.max_keyframes:
+                # Evict the oldest unprotected keyframe; reuse its slot
+                # (ring over fixed capacity — bounded memory online).
+                victim = self.protected
+                slot = st.slots.pop(victim)
+                st.keyframe_ids.pop(victim)
+                st.kf_descriptors.pop(victim)
+                import panst3r_tpu.models.memory as memlib
+
+                mem = memlib.evict(st.mem, slot * eng.n_tokens,
+                                   eng.n_tokens)
+                mem = mem._replace(
+                    count=jnp.asarray(slot * eng.n_tokens, jnp.int32))
+            else:
+                slot = len(st.keyframe_ids)
+                mem = st.mem
+            mem, _ = eng._update(eng.params, x[None], mem, pos[None])
+            # Restore count to full occupancy (inserts are slot-addressed).
+            occupied = max(len(st.slots) + 1, slot + 1)
+            st.mem = mem._replace(
+                count=jnp.asarray(occupied * eng.n_tokens, jnp.int32))
+            st.keyframe_ids.append(frame_id)
+            st.kf_descriptors.append(desc)
+            st.slots.append(slot)
             self._since_kf = 0
 
         return {"is_keyframe": bool(make_kf),

@@ -52,6 +52,34 @@ def init_memory(num_layers: int, batch: int, capacity: int, dim: int,
     )
 
 
+def evict(mem: TokenMemory, start: int | jnp.ndarray,
+          n: int) -> TokenMemory:
+    """Invalidate ``n`` slots from ``start`` (static n).
+
+    The reference's memory carries `mem_protected_imgs` /
+    `mem_protected_tokens` so must3r's pruning never drops anchor views
+    (engine/must3r.py:76-80); here protection is the caller's policy —
+    eviction just masks validity, and masked slots are skipped by
+    attention (no compaction needed; capacity is reused via insert_at).
+    """
+    zeros = jnp.zeros((mem.valid.shape[0], n), jnp.bool_)
+    valid = jax.lax.dynamic_update_slice(mem.valid, zeros, (0, start))
+    return mem._replace(valid=valid)
+
+
+def insert_at(mem: TokenMemory, y_new: jnp.ndarray, pos_new: jnp.ndarray,
+              start) -> TokenMemory:
+    """Overwrite ``n`` slots at ``start`` (ring-buffer reuse after evict)."""
+    L, B, n, C = y_new.shape
+    y = jax.lax.dynamic_update_slice(
+        mem.y, y_new.astype(mem.y.dtype), (0, 0, start, 0))
+    pos = jax.lax.dynamic_update_slice(mem.pos, pos_new, (0, start, 0))
+    ones = jnp.ones((B, n), jnp.bool_)
+    valid = jax.lax.dynamic_update_slice(mem.valid, ones, (0, start))
+    count = jnp.maximum(mem.count, start + n)
+    return TokenMemory(y=y, pos=pos, valid=valid, count=count)
+
+
 def insert(mem: TokenMemory, y_new: jnp.ndarray, pos_new: jnp.ndarray,
            ) -> TokenMemory:
     """Append tokens for all layers at the current write offset.
