@@ -75,6 +75,76 @@ class WandbLogger(Logger):
         self.run.finish()
 
 
+class MLFlowLogger(Logger):
+    """MLflow backend (reference logging.py:111-141, env
+    MLFLOW_TRACKING_URI); requires the mlflow package."""
+
+    def __init__(self, output_dir, project="panst3r_tpu", config=None):
+        import mlflow
+
+        self.mlflow = mlflow
+        mlflow.set_experiment(project)
+        self.run = mlflow.start_run()
+        if config:
+            mlflow.log_params({k: str(v)[:250] for k, v in config.items()})
+
+    def log(self, values: dict, step: float):
+        self.mlflow.log_metrics({k.replace("/", "_"): float(v)
+                                 for k, v in values.items()},
+                                step=int(step * 1000))
+
+    def close(self):
+        self.mlflow.end_run()
+
+
+class SmoothedValue:
+    """Windowed running statistic (croco MetricLogger building block —
+    reference engine/train.py:67-68)."""
+
+    def __init__(self, window_size: int = 20):
+        from collections import deque
+
+        self.window = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, value: float, n: int = 1):
+        self.window.append(value)
+        self.total += value * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return (sum(self.window) / len(self.window)) if self.window else 0.0
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / self.count if self.count else 0.0
+
+
+class MetricLogger:
+    """Smoothed metric aggregation (croco MetricLogger equivalent).
+
+    Cross-process synchronization happens by construction: metrics derive
+    from globally-reduced jit outputs (GSPMD), so there is no NCCL
+    `synchronize_between_processes` step to replicate."""
+
+    def __init__(self, window_size: int = 20):
+        self.meters: dict[str, SmoothedValue] = {}
+        self.window_size = window_size
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters.setdefault(
+                k, SmoothedValue(self.window_size)).update(float(v))
+
+    def global_avgs(self) -> dict:
+        return {k: m.global_avg for k, m in self.meters.items()}
+
+    def __str__(self):
+        return "  ".join(f"{k}: {m.avg:.4f}" for k, m in self.meters.items())
+
+
 class LoggerList(Logger):
     def __init__(self, loggers):
         self.loggers = list(loggers)
@@ -95,14 +165,11 @@ class LoggerList(Logger):
 def build_logger(kind: str, output_dir) -> Logger:
     """Logger selection (reference train.py:256-264)."""
     loggers: list[Logger] = [JsonlLogger(output_dir)]
-    if kind == "tensorboard":
+    backend = {"tensorboard": TBLogger, "wandb": WandbLogger,
+               "mlflow": MLFlowLogger}.get(kind)
+    if backend is not None:
         try:
-            loggers.append(TBLogger(output_dir))
-        except Exception:
-            pass
-    elif kind == "wandb":
-        try:
-            loggers.append(WandbLogger(output_dir))
+            loggers.append(backend(output_dir))
         except Exception:
             pass
     return LoggerList(loggers)
