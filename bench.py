@@ -59,17 +59,19 @@ def main():
     engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=K,
                              chunk=4, amp=True)
 
-    # Warmup (compilation)
-    warm = engine.run_fused(images, portrait, cls_emb)
+    # Warmup (compilation).  The staged pipeline (independently compiled
+    # stages, device-resident data) measures faster than the single fused
+    # mega-program — XLA schedules the smaller programs better.
+    warm = engine.run_device(images, portrait, cls_emb)
     engine.fuse(warm, (H, W))
 
-    # Timed: the full useful pipeline — single-dispatch fused inference +
-    # on-device panoptic fusion; only final segment/conf maps leave the chip.
+    # Timed: the full useful pipeline — device-resident inference + on-device
+    # panoptic fusion; only final segment/conf maps leave the chip.
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        out = engine.run_fused(images, portrait, cls_emb)
+        out = engine.run_device(images, portrait, cls_emb)
         res = engine.fuse(out, (H, W))
         assert res[0]["pan"].shape[0] == V
         times.append(time.perf_counter() - t0)
