@@ -106,41 +106,56 @@ def _fusion_full(mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
 
 def _fusion_iters(masks, scores, keep, labels, mask_threshold,
                   overlap_threshold, niters, void_confidence):
+    """Iterated argmax fusion in gather/scatter form.
+
+    The naive formulation materializes one-hot (B, Q, V, H, W) tensors
+    every iteration; here each iteration is one argmax pass over the
+    prob-masks plus O(V·H·W) gathers and a per-query scatter-add —
+    identical results (the per-query area-at-0.5 is independent of which
+    queries are alive, so it is computed once).
+    """
     B, V, Q, H, W = masks.shape
-    # (B, Q, V, H, W) prob-weighted masks; dropped queries → -inf so they
-    # never win the argmax (reference keeps only `keep` rows; equivalent).
-    pm = masks.transpose(0, 2, 1, 3, 4)
+    pm = masks.transpose(0, 2, 1, 3, 4)            # (B, Q, V, H, W)
     prob_masks = pm * scores.astype(pm.dtype)[:, :, None, None, None]
 
+    # Per-query area at the 0.5 level — alive-independent (one pass).
+    orig_area = (pm >= 0.5).sum((2, 3, 4))         # (B, Q)
+
+    def seg_sum(winner, values):
+        """(B, V, H, W) indices/values → per-query sums (B, Q)."""
+        return jax.vmap(lambda w, v: jnp.zeros(
+            (Q,), values.dtype).at[w.reshape(-1)].add(v.reshape(-1)))(
+                winner, values)
+
     alive = keep
-    win_mask = selected = None
+    winner = pm_win = selected = None
     for _ in range(niters):
         neg = jnp.where(alive[:, :, None, None, None], prob_masks, -jnp.inf)
-        winner = jnp.argmax(neg, axis=1)                       # (B, V, H, W)
-
-        win_mask = (jax.nn.one_hot(winner, Q, axis=1, dtype=jnp.bool_)
-                    & (pm >= mask_threshold)
-                    & alive[:, :, None, None, None])           # (B,Q,V,H,W)
-        mask_area = win_mask.sum((2, 3, 4))                    # (B, Q)
-        orig_area = ((pm >= 0.5) & alive[:, :, None, None, None]).sum(
-            (2, 3, 4))
+        winner = jnp.argmax(neg, axis=1)           # (B, V, H, W)
+        pm_win = jnp.take_along_axis(
+            pm, winner[:, None], axis=1)[:, 0]     # (B, V, H, W)
+        win_valid = (pm_win >= mask_threshold) & jnp.take_along_axis(
+            alive, winner.reshape(B, -1), axis=1).reshape(B, V, H, W)
+        mask_area = seg_sum(winner, win_valid.astype(jnp.int32))
         selected = (alive & (mask_area > 0) & (orig_area > 0)
                     & (mask_area / jnp.maximum(orig_area, 1)
                        >= overlap_threshold))
         alive = selected
+        # Stash this iteration's pixel assignment for the final map.
+        pix_assigned = win_valid
 
     # Segment ids in original query order (reference :103-104).  The pan map
     # uses the *entering* winner of the final iteration restricted to the
     # queries that survived its selection test — pixels whose winner was
     # dropped stay void, exactly like the reference's in-loop assignment.
     seg_ids = jnp.cumsum(selected, axis=1) * selected          # (B, Q)
-    win_sel = win_mask & selected[:, :, None, None, None]
-    pan = jnp.einsum("bqvhw,bq->bvhw", win_sel.astype(jnp.int32),
-                     seg_ids.astype(jnp.int32),
-                     preferred_element_type=jnp.int32)
-    conf_val = jnp.einsum("bqvhw,bqvhw->bvhw", win_sel.astype(pm.dtype), pm)
-    conf = jnp.where(win_sel.any(axis=1), conf_val.astype(jnp.float32),
-                     void_confidence)
+    sel_at_winner = jnp.take_along_axis(
+        selected, winner.reshape(B, -1), axis=1).reshape(B, V, H, W)
+    assigned = pix_assigned & sel_at_winner
+    seg_at_winner = jnp.take_along_axis(
+        seg_ids, winner.reshape(B, -1), axis=1).reshape(B, V, H, W)
+    pan = jnp.where(assigned, seg_at_winner, 0).astype(jnp.int32)
+    conf = jnp.where(assigned, pm_win.astype(jnp.float32), void_confidence)
     return pan, conf, seg_ids, labels, selected
 
 
