@@ -36,15 +36,20 @@ def evaluate_scene(engine: InferenceEngine, views: list[dict],
                    fusion: str = "standard_v2",
                    per_class: dict | None = None) -> dict:
     canon = canonicalize_views(views)
-    out = engine.run(canon["images"].astype(np.float32),
-                     canon["portrait"], cls_emb)
-
     H, W = canon["images"].shape[1:3]
-    fuse = {"standard_v2": panoptic_fusion, "standard_v1": panoptic_fusion_v1,
-            "qubo": qubo_fusion}[fusion]
-    res = fuse(jnp.asarray(out["pred_logits"][None]),
-               jnp.asarray(out["pred_masks"][None]),  # (1, V, Q, h, w)
-               (H, W))[0]
+    if fusion == "standard_v2":
+        # Device-resident path: masks never leave the chip.
+        out = engine.run_device(canon["images"].astype(np.float32),
+                                canon["portrait"], cls_emb)
+        res = engine.fuse(out, (H, W))[0]
+    else:
+        out = engine.run(canon["images"].astype(np.float32),
+                         canon["portrait"], cls_emb)
+        fuse = {"standard_v1": panoptic_fusion_v1,
+                "qubo": qubo_fusion}[fusion]
+        res = fuse(jnp.asarray(out["pred_logits"][None]),
+                   jnp.asarray(out["pred_masks"][None]),  # (1, V, Q, h, w)
+                   (H, W))[0]
 
     gt_pan, gt_segments = gt_segments_from_maps(
         canon["pan_inst_id"].astype(np.int64), canon["pan_cls_id"],
