@@ -43,7 +43,9 @@ def main():
     NCLS = 32
 
     rng = np.random.default_rng(0)
-    images = (rng.standard_normal((V, H, W, 3)) * 0.3).astype(np.float32)
+    # uint8 frames, normalized on device — the serving-realistic input
+    # format (4x smaller host uploads than f32).
+    images = rng.integers(0, 256, (V, H, W, 3), dtype=np.uint8)
     portrait = np.zeros(V, bool)
     cls_emb = rng.standard_normal((NCLS, 768)).astype(np.float32)
 

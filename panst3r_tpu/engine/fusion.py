@@ -60,7 +60,7 @@ def panoptic_fusion(mask_cls, mask_pred, true_shape: tuple[int, int],
                     label_mode: str = "sigmoid", cls_threshold: float = 0.1,
                     temperature=None, mask_threshold: float = 0.25,
                     overlap_threshold: float = 0.5, niters: int = 2,
-                    void_confidence: float = 0.1):
+                    void_confidence: float = 0.1, with_conf: bool = True):
     """v2 fusion (v1 = niters 1, thresholds 0.5/0.8 — reference :9-11).
 
     mask_cls: (B, Q, ncls) logits; mask_pred: (B, V, Q, h, w) logits;
@@ -74,19 +74,26 @@ def panoptic_fusion(mask_cls, mask_pred, true_shape: tuple[int, int],
         temperature, mask_threshold, overlap_threshold, niters,
         void_confidence)
 
+    # Host transfers: segment ids fit uint16, confidence in f16 — halves
+    # the host-link traffic (matters on slow host↔device links).
+    pan_host = np.asarray(pan.astype(jnp.uint16)).astype(np.int32)
+    conf_host = (np.asarray(conf.astype(jnp.float16)).astype(np.float32)
+                 if with_conf else None)
+    seg_ids_h = np.asarray(seg_ids)
+    seg_cls_h = np.asarray(seg_cls)
+    seg_valid_h = np.asarray(seg_valid)
+
     results = []
     for b in range(mask_cls.shape[0]):
         infos = []
-        ids = np.asarray(seg_ids[b])
-        cls = np.asarray(seg_cls[b])
-        valid = np.asarray(seg_valid[b])
+        ids, cls, valid = seg_ids_h[b], seg_cls_h[b], seg_valid_h[b]
         for q in range(ids.shape[0]):
             if valid[q]:
                 infos.append({"id": int(ids[q]), "query_id": int(q),
                               "category_id": int(cls[q])})
-        results.append({"pan": np.asarray(pan[b]),
+        results.append({"pan": pan_host[b],
                         "segments_info": infos,
-                        "conf": np.asarray(conf[b])})
+                        "conf": conf_host[b] if with_conf else None})
     return results
 
 
