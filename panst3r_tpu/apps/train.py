@@ -26,8 +26,9 @@ from panst3r_tpu.core.checkpoint import (latest_checkpoint, load_checkpoint,
 from panst3r_tpu.core.logging import build_logger
 from panst3r_tpu.core.mesh import MeshSpec, build_mesh
 from panst3r_tpu.engine.train import (TrainConfig, TrainState,
-                                      build_optimizer, make_train_step,
-                                      train_one_epoch)
+                                      build_optimizer, cast_frozen_params,
+                                      make_train_step, train_one_epoch,
+                                      trainable_mask)
 from panst3r_tpu.data.loader import epoch_batches
 from panst3r_tpu.data.scannetpp import ScanNetppPanoptic
 from panst3r_tpu.models.panst3r import PanSt3R
@@ -117,8 +118,20 @@ def main(argv=None):
         jax.random.PRNGKey(exp.train.seed), init_batch,
         jnp.zeros((1, V), bool), cls_emb, grid)
 
+    # Freeze policy → optimizer masking + bf16 frozen params
+    # (reference train.py:219-222; see engine/train.trainable_mask).
+    mc = model.config
+    trainable = ["panoptic_decoder"]
+    if not mc.freeze_encoder:
+        trainable.append("must3r_encoder")
+    if not mc.freeze_decoder:
+        trainable.append("must3r_decoder")
+    params = cast_frozen_params(params, tuple(trainable))
+
     steps_per_epoch = max(len(dataset) // (exp.train.batch_size * world), 1)
-    tx, schedule = build_optimizer(exp.train, world, steps_per_epoch)
+    tx, schedule = build_optimizer(
+        exp.train, world, steps_per_epoch,
+        trainable_mask=trainable_mask(params, tuple(trainable)))
     state = TrainState.create(params, tx)
     step_fn = make_train_step(model, tx, exp.train.loss, grid)
 

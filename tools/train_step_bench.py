@@ -20,7 +20,9 @@ def main():
 
     from panst3r_tpu.engine.criterion import PanopticLossConfig, Targets
     from panst3r_tpu.engine.train import (TrainConfig, TrainState,
-                                          build_optimizer, make_train_step)
+                                          build_optimizer,
+                                          cast_frozen_params,
+                                          make_train_step, trainable_mask)
     from panst3r_tpu.models.panst3r import PanSt3R
     from panst3r_tpu.models.presets import panst3r_v1_config
 
@@ -55,9 +57,11 @@ def main():
     jax.block_until_ready(params)
     print(f"init: {time.perf_counter() - t0:.1f}s")
 
+    params = cast_frozen_params(params)
     tcfg = TrainConfig(lr=1e-4, accum_iter=1,
                        loss=PanopticLossConfig(num_points=NPTS))
-    tx, _ = build_optimizer(tcfg, 1, steps_per_epoch=100)
+    tx, _ = build_optimizer(tcfg, 1, steps_per_epoch=100,
+                            trainable_mask=trainable_mask(params))
     state = TrainState.create(params, tx)
     step = make_train_step(model, tx, tcfg.loss, GRID, donate=False)
 
