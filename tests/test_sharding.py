@@ -56,6 +56,44 @@ def test_dryrun_multichip_entry():
     ge.dryrun_multichip(8)
 
 
+def test_kv_sharded_training_matches_unsharded(rng):
+    """The GSPMD kv-sharding constraint must not change the math."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from panst3r_tpu.engine.criterion import PanopticLossConfig
+    from panst3r_tpu.engine.train import (TrainConfig, TrainState,
+                                          build_optimizer, make_train_step,
+                                          shard_batch)
+    from panst3r_tpu.models.panst3r import PanSt3R
+    from tests.test_train import GRID, make_batch, tiny_model
+
+    mesh = build_mesh(MeshSpec(data=4, mem=2))
+    base = tiny_model()
+    sharded = PanSt3R(base.config,
+                      kv_shard=NamedSharding(mesh, P(DATA_AXIS, MEM_AXIS,
+                                                     None)))
+    B = 4
+    batch = make_batch(rng, B)
+    cls_emb = jnp.asarray(rng.standard_normal((5, 24)), jnp.float32)
+    params = base.init(jax.random.PRNGKey(0), batch["images"][:1],
+                       batch["portrait"][:1], cls_emb, GRID)
+
+    tcfg = TrainConfig(lr=1e-3, accum_iter=1,
+                       loss=PanopticLossConfig(num_points=32))
+    tx, _ = build_optimizer(tcfg, 8, steps_per_epoch=4)
+
+    losses = {}
+    for name, model in [("base", base), ("sharded", sharded)]:
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, tcfg.loss, GRID, donate=False)
+        with mesh:
+            sbatch = shard_batch(batch, mesh)
+            _, loss, _ = step(state, sbatch, cls_emb, jax.random.PRNGKey(0))
+        losses[name] = float(loss)
+    np.testing.assert_allclose(losses["sharded"], losses["base"], rtol=1e-5)
+
+
 def test_sharding_helpers():
     mesh = build_mesh(MeshSpec(data=4, mem=2))
     s = data_sharding(mesh, None, None)
