@@ -72,10 +72,9 @@ def sharded_memory_attention(mesh: Mesh, q: jnp.ndarray, k: jnp.ndarray,
     kv_spec = P(None, None, MEM_AXIS, None)
     if kv_valid is None:
         fn = shard_map(lambda q, k, v: local(q, k, v, None), mesh=mesh,
-                       in_specs=(P(), kv_spec, kv_spec), out_specs=P(),
-                       check_rep=False)
+                       in_specs=(P(), kv_spec, kv_spec), out_specs=P())
         return fn(q, k, v)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), kv_spec, kv_spec, P(None, MEM_AXIS)),
-                   out_specs=P(), check_rep=False)
+                   out_specs=P())
     return fn(q, k, v, kv_valid)
