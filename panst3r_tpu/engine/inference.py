@@ -129,6 +129,56 @@ class InferenceEngine:
         self._panoptic_joint = panoptic_joint
         self._panoptic_queries = panoptic_queries
 
+        # Batched whole-set variants: the chunk loop runs inside one jitted
+        # program (lax.map) — one dispatch per stage instead of per chunk.
+        chunk = self.chunk
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def encode_batch(params, images, n):
+            def one(img):
+                x, pos = model.apply(params, cast(img)[None, None],
+                                     method=PanSt3R.encode)
+                return x[0, 0], pos[0, 0]
+
+            if n == 1:
+                return one(images[0])
+            return jax.lax.map(one, images, batch_size=min(chunk, n))
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def dino_batch(params, images, n):
+            def one(img):
+                return model.apply(params, cast(img)[None, None],
+                                   method=PanSt3R.encode_dino)[0, 0]
+
+            return jax.lax.map(one, images, batch_size=min(chunk, n))
+
+        @functools.partial(jax.jit, donate_argnums=(2,),
+                           static_argnames=("schedule",))
+        def build_memory_jit(params, x_kf, mem, pos_kf, schedule):
+            start = 0
+            for nb in schedule:
+                mem, _, _ = model.apply(
+                    params, x_kf[None, start:start + nb],
+                    pos_kf[None, start:start + nb], mem, grid,
+                    method=PanSt3R.decoder_update)
+                start += nb
+            return mem
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def render_batch(params, x, pos, mem, n):
+            def one(args):
+                xi, pi = args
+                pm, y = model.apply(params, xi[None, None], pi[None, None],
+                                    mem, grid, method=PanSt3R.decoder_render)
+                return pm[0, 0], y[0, 0]
+
+            return jax.lax.map(one, (x, pos), batch_size=min(chunk, n))
+
+        self._encode_batch = encode_batch
+        self._dino_batch = dino_batch
+        self._build_memory_jit = build_memory_jit
+        self._render_batch = render_batch
+
     # ------------------------------------------------------------------
 
     def _encode_all(self, images):
@@ -285,6 +335,7 @@ class InferenceEngine:
         opposite — keep masks/pointmaps on chip and fuse there, transferring
         only the final small maps (see ``fuse``).
         """
+        c = self.model.config
         V = images.shape[0]
         K = min(num_keyframes or self.num_keyframes, V)
         cls_emb = jnp.asarray(cls_embeddings)
@@ -293,7 +344,7 @@ class InferenceEngine:
         images_dev = jnp.asarray(images)
         portrait_dev = jnp.asarray(portrait)
 
-        x, pos = self._encode_all(images_dev)
+        x, pos = self._encode_batch(self.params, images_dev, V)
 
         if use_retrieval and V > K:
             keyframes = select_keyframes_retrieval(
@@ -301,49 +352,43 @@ class InferenceEngine:
         else:
             keyframes = select_keyframes_linspace(V, K)
         not_keyframes = sorted(set(range(V)) - set(keyframes))
-        order = list(keyframes) + not_keyframes
 
-        # Step 1: memory over keyframes.
+        # Step 1: memory over keyframes (one program for the schedule).
         kf_idx = jnp.asarray(keyframes)
-        mem = self.build_memory(x[kf_idx], pos[kf_idx])
+        dtype = jnp.bfloat16 if self.amp else jnp.float32
+        mem = memlib.init_memory(c.decoder.depth, 1, K * self.n_tokens,
+                                 c.decoder.dim, dtype=dtype)
+        mem = self._build_memory_jit(self.params, x[kf_idx], mem,
+                                     pos[kf_idx], tuple(c.mem_batches(K)))
 
-        # Step 2: render + dino + joint panoptic decode on keyframes.
-        pm_kf, y_kf = self._render_chunked(x[kf_idx], pos[kf_idx], mem)
-        dino_kf = self._dino_chunked(images_dev[kf_idx])
+        # Step 2: render ALL views + DINO in one program each.
+        pm_all, y_all = self._render_batch(self.params, x, pos, mem, V)
+        dino_all = self._dino_batch(self.params, images_dev, V)
+
         panout_kf = self._panoptic_joint(
             self.params,
-            (x[kf_idx][None], y_kf[None], dino_kf[None]),
+            (x[kf_idx][None], y_all[kf_idx][None], dino_all[kf_idx][None]),
             images_dev[kf_idx][None], pos[kf_idx][None],
             portrait_dev[kf_idx][None], cls_emb)
 
-        pointmaps = [pm_kf]
-        pred_masks = [panout_kf["pred_masks"][0]]
-
-        # Step 3: non-keyframes — render-only + frozen-query decode.
+        # Step 3: non-keyframes — frozen-query decode, one program.
         if not_keyframes:
-            nk = np.asarray(not_keyframes)
-            queries = panout_kf["out_queries"]
-            for s in range(0, len(not_keyframes), self.chunk):
-                sel = nk[s:s + self.chunk]
-                n = len(sel)
-                pad = jnp.asarray(np.concatenate(
-                    [sel, np.full(self.chunk - n, sel[-1], sel.dtype)]))
-                pm_i, y_i = self._render_chunked(x[pad], pos[pad], mem)
-                dino_i = self._dino_chunked(images_dev[pad])
-                panout_i = self._panoptic_queries(
-                    self.params, (x[pad][None], y_i[None], dino_i[None]),
-                    images_dev[pad][None], pos[pad][None],
-                    portrait_dev[pad][None], cls_emb, queries)
-                pointmaps.append(pm_i[:n])
-                pred_masks.append(panout_i["pred_masks"][0, :n])
-
-        # Step 4: inverse permutation back to input order (on device).
-        inv = jnp.asarray(np.argsort(order))
-        pm_raw = jnp.concatenate(pointmaps)[inv]
-        masks = jnp.concatenate(pred_masks)[inv]
+            nk = jnp.asarray(not_keyframes)
+            panout_nk = self._panoptic_queries(
+                self.params,
+                (x[nk][None], y_all[nk][None], dino_all[nk][None]),
+                images_dev[nk][None], pos[nk][None],
+                portrait_dev[nk][None], cls_emb,
+                panout_kf["out_queries"])
+            inv = jnp.asarray(np.argsort(list(keyframes) + not_keyframes))
+            masks = jnp.concatenate([panout_kf["pred_masks"][0],
+                                     panout_nk["pred_masks"][0]])[inv]
+        else:
+            inv = jnp.asarray(np.argsort(list(keyframes)))
+            masks = panout_kf["pred_masks"][0][inv]
 
         return {
-            "pointmaps_raw": pm_raw,
+            "pointmaps_raw": pm_all,        # rendered in input order
             "pred_logits": panout_kf["pred_logits"][0],
             "pred_masks": masks,
             "out_queries": panout_kf["out_queries"][0],
