@@ -59,7 +59,8 @@ def main():
         jnp.zeros((NCLS, 768), jnp.bfloat16), (H // 16, W // 16))
 
     engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=K,
-                             chunk=4, amp=True)
+                             chunk=int(os.environ.get("BENCH_CHUNK", "4")),
+                             amp=True)
 
     # Warmup (compilation).  The staged pipeline (independently compiled
     # stages, device-resident data) measures faster than the single fused
