@@ -216,3 +216,38 @@ def test_panst3r_full_forward(rng):
     assert panout["pred_masks"].shape == (B, V, 8, H // 2, W // 2)
     assert np.isfinite(np.asarray(panout["pred_logits"])).all()
     assert np.isfinite(np.asarray(pointmaps)).all()
+
+
+def test_update_joint_views_interact(rng):
+    """Views injected together must see each other through the memory
+    cross-attention (the reference initializes with 2 views jointly)."""
+    B = 1
+    x, pos = _decoder_inputs(rng, B, 2)
+    model = MemoryDecoder(DEC)
+    mem0 = memlib.init_memory(DEC.depth, B, 2 * N, DEC.dim)
+    params = model.init(jax.random.PRNGKey(0), x, pos, mem0, False, GRID)
+
+    # Joint injection of (A, B)
+    _, pm_joint, _ = model.apply(params, x, pos, mem0, False, GRID)
+    # B alone
+    mem1 = memlib.init_memory(DEC.depth, B, N, DEC.dim)
+    _, pm_alone, _ = model.apply(params, x[:, 1:], pos[:, 1:], mem1, False,
+                                 GRID)
+    diff = np.abs(np.asarray(pm_joint[:, 1]) - np.asarray(pm_alone[:, 0]))
+    assert diff.max() > 1e-4  # cross-view information flowed
+
+
+def test_render_depends_on_memory_content(rng):
+    B = 1
+    x, pos = _decoder_inputs(rng, B, 3)
+    model = MemoryDecoder(DEC)
+    mem0 = memlib.init_memory(DEC.depth, B, 2 * N, DEC.dim)
+    params = model.init(jax.random.PRNGKey(0), x[:, :2], pos[:, :2], mem0,
+                        False, GRID)
+    mem_a, _, _ = model.apply(params, x[:, :2], pos[:, :2], mem0, False,
+                              GRID)
+    mem_b, _, _ = model.apply(params, x[:, 1:], pos[:, 1:], mem0, False,
+                              GRID)
+    _, pm_a, _ = model.apply(params, x[:, 2:], pos[:, 2:], mem_a, True, GRID)
+    _, pm_b, _ = model.apply(params, x[:, 2:], pos[:, 2:], mem_b, True, GRID)
+    assert np.abs(np.asarray(pm_a) - np.asarray(pm_b)).max() > 1e-4
