@@ -78,3 +78,78 @@ def sharded_memory_attention(mesh: Mesh, q: jnp.ndarray, k: jnp.ndarray,
                    in_specs=(P(), kv_spec, kv_spec, P(None, MEM_AXIS)),
                    out_specs=P())
     return fn(q, k, v, kv_valid)
+
+
+def ring_memory_attention(mesh: Mesh, q: jnp.ndarray, k: jnp.ndarray,
+                          v: jnp.ndarray,
+                          kv_valid: Optional[jnp.ndarray] = None
+                          ) -> jnp.ndarray:
+    """Ring variant: KV shards rotate around the ``mem`` ring (ppermute)
+    while each device accumulates flash-style running (max, sum, acc) over
+    its resident queries.
+
+    Trade-off vs `sharded_memory_attention`: the ring moves the KV shards
+    (n−1 hops of the KV bytes, overlappable with compute) instead of one
+    psum of the O(B·Nq·D) outputs — preferable when queries are large
+    relative to a KV shard, or when queries are themselves sharded and the
+    output must stay local.  Same math; both are exact.
+
+    q: (B, H, Nq, D) replicated over mem; k/v sharded on the token axis;
+    kv_valid: (B, M) bool sharded.  Returns (B, H, Nq, D) replicated.
+    """
+    n = mesh.shape[MEM_AXIS]
+
+    def local(q, k, v, valid):
+        def step(carry, _):
+            k, v, valid, m_run, l_run, acc = carry
+            scale = q.shape[-1] ** -0.5
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                           preferred_element_type=jnp.float32) * scale
+            if valid is not None:
+                s = jnp.where(valid[:, None, None, :], s, _NEG_INF)
+            m_blk = s.max(-1, keepdims=True)
+            m_new = jnp.maximum(m_run, m_blk)
+            safe = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
+            p = jnp.exp(s - safe)
+            p = jnp.where(s <= _NEG_INF / 2, 0.0, p)
+            alpha = jnp.exp(m_run - safe)
+            alpha = jnp.where(m_run <= _NEG_INF / 2, 0.0, alpha)
+            l_new = alpha * l_run + p.sum(-1, keepdims=True)
+            acc = acc * alpha + jnp.einsum(
+                "bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(jnp.float32)
+            # Rotate KV shard to the next ring neighbor.
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            k = jax.lax.ppermute(k, MEM_AXIS, perm)
+            v = jax.lax.ppermute(v, MEM_AXIS, perm)
+            if valid is not None:
+                valid = jax.lax.ppermute(valid, MEM_AXIS, perm)
+            return (k, v, valid, m_new, l_new, acc), None
+
+        B, H, Nq, D = q.shape
+
+        def vary(x):  # mark replicated inits as mem-varying (scan carry typing)
+            try:
+                return jax.lax.pvary(x, (MEM_AXIS,))
+            except AttributeError:  # older jax: no vma tracking
+                return x
+
+        init = (k, v, valid,
+                vary(jnp.full((B, H, Nq, 1), _NEG_INF)),
+                vary(jnp.zeros((B, H, Nq, 1))),
+                vary(jnp.zeros((B, H, Nq, D))))
+        (k, v, valid, m, l, acc), _ = jax.lax.scan(step, init, None,
+                                                   length=n)
+        out = acc / jnp.maximum(l, 1e-20)
+        # All devices saw all shards → result already replicated; a pmean
+        # re-asserts replication for out_specs=P().
+        return jax.lax.pmean(out.astype(q.dtype), MEM_AXIS)
+
+    kv_spec = P(None, None, MEM_AXIS, None)
+    if kv_valid is None:
+        fn = shard_map(lambda q, k, v: local(q, k, v, None), mesh=mesh,
+                       in_specs=(P(), kv_spec, kv_spec), out_specs=P())
+        return fn(q, k, v)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), kv_spec, kv_spec, P(None, MEM_AXIS)),
+                   out_specs=P())
+    return fn(q, k, v, kv_valid)

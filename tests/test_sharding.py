@@ -7,7 +7,8 @@ import pytest
 from panst3r_tpu.core.mesh import (DATA_AXIS, MEM_AXIS, MeshSpec, build_mesh,
                                    data_sharding, mem_sharding)
 from panst3r_tpu.ops.attention import dot_product_attention
-from panst3r_tpu.ops.sharded_attention import sharded_memory_attention
+from panst3r_tpu.ops.sharded_attention import (ring_memory_attention,
+                                               sharded_memory_attention)
 
 
 def test_mesh_spec_resolution():
@@ -47,6 +48,25 @@ def test_sharded_memory_attention_with_validity(rng):
     out = sharded_memory_attention(mesh, q, k, v, valid)
     ref = dot_product_attention(q, k[:, :, :40], v[:, :, :40])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ring_memory_attention_matches_dense(rng):
+    mesh = build_mesh(MeshSpec(data=1, mem=8))
+    B, H, Nq, M, D = 1, 2, 16, 64, 32
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, M, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, M, D)), jnp.float32)
+
+    out = ring_memory_attention(mesh, q, k, v)
+    ref = dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    valid = jnp.asarray(np.arange(M) < 40)[None]
+    out2 = ring_memory_attention(mesh, q, k, v, valid)
+    ref2 = dot_product_attention(q, k[:, :, :40], v[:, :, :40])
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=2e-4, atol=2e-5)
 
 
