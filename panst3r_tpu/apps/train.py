@@ -99,17 +99,25 @@ def main(argv=None):
     grid = (exp.resolution[0][1] // 16, exp.resolution[0][0] // 16)
 
     # Text vocabulary → fixed embedding table (reference train.py:185-189).
-    text = TextEncoder(TextEncoderConfig(model_name=exp.text_encoder))
-    try:
-        text.set_vocab(classes)
-        cls_emb = jnp.asarray(text(classes))
-    except Exception as e:  # no local HF weights — random unit embeddings
-        print(f"WARN: text tower unavailable ({e}); using random embeddings")
+    # The model's lang_dim must match the tower's embed dim; when it doesn't
+    # (tiny/test presets) or the tower is unavailable (no local HF weights /
+    # text_encoder='random'), fall back to random unit embeddings.
+    lang_dim = model.config.panoptic.mask_transformer.lang_dim
+    cls_emb = None
+    if exp.text_encoder != "random":
+        text = TextEncoder(TextEncoderConfig(model_name=exp.text_encoder))
+        if text.embed_dim == lang_dim:
+            try:
+                text.set_vocab(classes)
+                cls_emb = jnp.asarray(text(classes))
+            except Exception as e:
+                print(f"WARN: text tower unavailable ({e}); "
+                      "using random embeddings")
+    if cls_emb is None:
         rng = np.random.default_rng(0)
-        emb = rng.standard_normal((len(classes), text.embed_dim))
+        emb = rng.standard_normal((len(classes), lang_dim))
         emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
-        text.load_table(classes, emb.astype(np.float32))
-        cls_emb = jnp.asarray(text(classes))
+        cls_emb = jnp.asarray(emb.astype(np.float32))
 
     H, W = exp.resolution[0][1], exp.resolution[0][0]
     V = exp.num_views

@@ -66,6 +66,9 @@ def build_mesh(spec: MeshSpec | None = None,
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
+    if spec.data > 0 and spec.mem > 0 and spec.data * spec.mem < devices.size:
+        # Explicit sub-mesh: use the first data*mem devices.
+        devices = devices[:spec.data * spec.mem]
     data, mem = spec.resolve(devices.size)
     grid = devices.reshape(data, mem)
     return Mesh(grid, (DATA_AXIS, MEM_AXIS))

@@ -16,6 +16,8 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress: fail fast
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,54 @@
+"""Train CLI end-to-end: tiny model, synthetic dataset, 2 epochs + resume."""
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from tests.test_data import _make_scannetpp
+
+
+def test_train_cli_end_to_end(tmp_path, rng):
+    import panst3r_tpu.apps.train as train_app
+    from panst3r_tpu.core import config as cfglib
+    from panst3r_tpu.engine.criterion import PanopticLossConfig
+    from panst3r_tpu.engine.train import TrainConfig
+
+    data_root = tmp_path / "data"
+    data_root.mkdir()
+    _make_scannetpp(str(data_root), n_views=6, hw=(32, 48))
+
+    out_dir = tmp_path / "out"
+    exp = train_app.ExperimentConfig(
+        model_preset="tiny",
+        data_root=str(data_root),
+        resolution=((48, 32),),
+        num_views=2,
+        aug_crop=0,
+        train=TrainConfig(epochs=2, warmup_epochs=0, lr=1e-3, batch_size=2,
+                          accum_iter=1, max_instances=8,
+                          loss=PanopticLossConfig(num_points=32)),
+        output_dir=str(out_dir),
+        keep_freq=0,
+        logger="jsonl",
+        mesh_data=1, mesh_mem=1,  # batch 2 on one device (8 virtual present)
+        text_encoder="random",
+    )
+    cfg_path = tmp_path / "exp.yaml"
+    cfglib.save_yaml(exp, cfg_path)
+
+    train_app.main(["--config", str(cfg_path)])
+
+    assert (out_dir / "last").exists()
+    assert (out_dir / "final").exists()
+    log = [json.loads(l) for l in (out_dir / "log.txt").read_text()
+           .splitlines() if '"epoch"' in l]
+    epochs = [r["epoch"] for r in log if "epoch" in r]
+    assert 1 in epochs
+    losses = [r["train_loss"] for r in log if "train_loss" in r]
+    assert all(np.isfinite(losses))
+
+    # Resume: runs the remaining 1 epoch (start_epoch=2 → no-op) cleanly.
+    train_app.main(["--config", str(cfg_path), "--epochs", "3"])
+    meta = json.loads((out_dir / "last" / "meta.json").read_text())
+    assert meta["epoch"] == 2
