@@ -86,9 +86,13 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     cfglib.save_yaml(exp, out_dir / "config.yaml")
 
+    from panst3r_tpu.core import distributed as dist
+
+    dist.initialize()  # no-op single-host (reference init_distributed_mode)
     mesh = build_mesh(MeshSpec(data=exp.mesh_data, mem=exp.mesh_mem))
     world = mesh.devices.size
-    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+          f"host {dist.process_index()}/{dist.process_count()}")
 
     dataset = ScanNetppPanoptic(exp.data_root, resolution=list(exp.resolution),
                                 num_views=exp.num_views,
@@ -141,7 +145,8 @@ def main(argv=None):
         exp.train, world, steps_per_epoch,
         trainable_mask=trainable_mask(params, tuple(trainable)))
     state = TrainState.create(params, tx)
-    step_fn = make_train_step(model, tx, exp.train.loss, grid)
+    step_fn = make_train_step(model, tx, exp.train.loss, grid,
+                              amp=exp.train.amp)
 
     start_epoch = 0
     last = latest_checkpoint(out_dir) if True else None
@@ -161,6 +166,8 @@ def main(argv=None):
         batches = epoch_batches(dataset, exp.train.batch_size, classes,
                                 exp.train.max_instances, epoch,
                                 seed=exp.train.seed,
+                                rank=dist.process_index(),
+                                world_size=dist.process_count(),
                                 num_resolutions=len(exp.resolution))
         with mesh:
             state, stats = train_one_epoch(

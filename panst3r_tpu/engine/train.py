@@ -18,9 +18,12 @@ TPU-native equivalent of the reference training stack:
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import math
 from typing import Any, Optional
+
+_nullcontext = contextlib.nullcontext
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +54,10 @@ class TrainConfig:
     clip_grad: Optional[float] = None
     seed: int = 777
     max_instances: int = 48
+    # AMP analog (reference amp flag, configs/base.yaml:76): 'bf16' runs
+    # f32-parameter matmuls at bf16 MXU precision (no loss scaler needed on
+    # TPU); None keeps full f32.
+    amp: Optional[str] = None
     loss: PanopticLossConfig = PanopticLossConfig()
 
     def effective_lr(self, world_size: int) -> float:
@@ -146,17 +153,25 @@ def build_optimizer(config: TrainConfig, world_size: int,
 
 
 def make_train_step(model, tx, loss_config: PanopticLossConfig,
-                    grid: tuple[int, int], donate: bool = True):
+                    grid: tuple[int, int], donate: bool = True,
+                    amp: Optional[str] = None):
     """Build the jitted train step.
 
     batch: dict with images (B, V, H, W, 3), portrait (B, V),
     targets: Targets pytree, cls_embeddings (ncls, D).
+    amp='bf16': matmuls run at bf16 MXU precision (the torch-autocast
+    analog; the criterion math stays f32 — reference engine/train.py:40).
     """
+    precision = "bfloat16" if amp == "bf16" else None
 
     def step_fn(state: TrainState, batch: dict, cls_embeddings, key):
         def loss_fn(params):
-            panout, _ = model.apply(params, batch["images"],
-                                    batch["portrait"], cls_embeddings, grid)
+            ctx = (jax.default_matmul_precision(precision)
+                   if precision else _nullcontext())
+            with ctx:
+                panout, _ = model.apply(params, batch["images"],
+                                        batch["portrait"], cls_embeddings,
+                                        grid)
             total, details = panoptic_loss(
                 key, panout, batch["targets"], loss_config)
             return total, details
