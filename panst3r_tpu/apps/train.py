@@ -53,6 +53,11 @@ class ExperimentConfig:
     mesh_data: int = -1
     mesh_mem: int = 1
     text_encoder: str = "siglip"
+    # PQ eval cadence (the reference's train.py:290 eval is a TODO; here it
+    # runs the real inference+fusion+PQ pipeline on held-out scenes).
+    eval_every: int = 0
+    eval_scenes: int = 8
+    eval_keyframes: int = 4
 
 
 def build_model(preset: str) -> PanSt3R:
@@ -174,6 +179,30 @@ def main(argv=None):
                 state, step_fn, batches, cls_emb, mesh, epoch,
                 exp.train.seed, log_writer, exp.print_freq,
                 steps_per_epoch, schedule)
+
+        if exp.eval_every and epoch % exp.eval_every == 0 \
+                and dist.is_main_process():
+            from collections import defaultdict
+
+            from panst3r_tpu.apps.eval import evaluate_scene
+            from panst3r_tpu.core.bucketing import Bucket
+            from panst3r_tpu.engine.eval import PQStat, summarize
+            from panst3r_tpu.engine.inference import InferenceEngine
+
+            engine = InferenceEngine(
+                model, state.params, Bucket(H, W),
+                num_keyframes=exp.eval_keyframes, amp=False)
+            per_class = defaultdict(PQStat)
+            n_eval = min(exp.eval_scenes, len(dataset))
+            for i in range(len(dataset) - n_eval, len(dataset)):
+                evaluate_scene(engine, dataset[i], classes,
+                               np.asarray(cls_emb, np.float32),
+                               per_class=per_class)
+            pq = summarize(per_class)
+            print(f"[eval epoch {epoch}] {pq}")
+            log_writer.log({f"eval/{k}": v for k, v in pq.items()
+                            if isinstance(v, (int, float))}, epoch)
+            stats = {**stats, **{f"eval_{k}": v for k, v in pq.items()}}
 
         meta = {"epoch": epoch, "stats": stats, "classes": classes}
         host_state = jax.tree_util.tree_map(np.asarray, state)

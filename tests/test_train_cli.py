@@ -33,6 +33,7 @@ def test_train_cli_end_to_end(tmp_path, rng):
         logger="jsonl",
         mesh_data=1, mesh_mem=1,  # batch 2 on one device (8 virtual present)
         text_encoder="random",
+        eval_every=2, eval_scenes=2, eval_keyframes=2,
     )
     cfg_path = tmp_path / "exp.yaml"
     cfglib.save_yaml(exp, cfg_path)
