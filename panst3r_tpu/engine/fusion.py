@@ -168,18 +168,29 @@ def _fusion_iters(masks, scores, keep, labels, mask_threshold,
 
 # ---------------------------------------------------------------- QUBO ----
 
-def qubo_weights(masks, penalty: float = 1.0):
+def qubo_weights(masks, cls_probs=None, penalty: float = 1.0,
+                 min_cls_prob: float = 0.0, cutoff: float = 0.0,
+                 prob_weighted: bool = False):
     """Weight matrix for query-subset selection (reference :229-260).
 
-    masks: (Q, V, H, W) sigmoid masks.  Diag = mask area; off-diag =
-    -(1+penalty) · pairwise min-overlap / 2; normalized by pixels × views.
+    masks: (Q, V, H, W) sigmoid masks; cls_probs: (Q, ncls) optional.
+    Diag = mask area; off-diag = -(1+penalty)·pairwise min-overlap / 2
+    (thresholded at ``cutoff``); normalized by pixels × views.  With
+    ``prob_weighted`` masks scale by their max class prob; queries whose
+    class prob never reaches ``min_cls_prob`` are zeroed (:238-243).
     """
     Q, V, H, W = masks.shape
+    if cls_probs is not None:
+        if prob_weighted:
+            masks = masks * cls_probs.max(-1)[:, None, None, None]
+        bad = (cls_probs < min_cls_prob).all(-1)
+        masks = jnp.where(bad[:, None, None, None], 0.0, masks)
     flat = masks.reshape(Q, -1)
     # Pairwise min-overlap, one query row at a time (Q·P per step — the
     # full (Q, Q, P) broadcast would be tens of GB at 512px).
     overlap = jax.lax.map(lambda row: jnp.minimum(row[None], flat).sum(-1),
                           flat)                                # (Q, Q)
+    overlap = jnp.where(overlap > cutoff, overlap, 0.0)
     area = flat.sum(-1)
     W_mat = -(1.0 + penalty) * overlap / 2.0
     W_mat = W_mat.at[jnp.arange(Q), jnp.arange(Q)].set(area)
@@ -252,7 +263,7 @@ def qubo_fusion(mask_cls, mask_pred, true_shape: tuple[int, int],
     for b in range(B):
         masks = masks_all[b].transpose(1, 0, 2, 3)             # (Q, V, H, W)
         probs = probs_all[b]
-        Wm = qubo_weights(masks)
+        Wm = qubo_weights(masks, cls_probs=probs)
         sol, _ = solve_qubo_sa(Wm, jax.random.PRNGKey(seed + b),
                                num_restarts=num_restarts)
         sol = np.asarray(sol)
