@@ -204,21 +204,43 @@ class InferenceEngine:
             outs.append(out[:min(self.chunk, V - s), 0])
         return jnp.concatenate(outs)
 
-    def build_memory(self, x_kf, pos_kf):
-        """Incremental memory over keyframes: [init, +1, +1, ...]."""
+    def build_memory(self, x_kf, pos_kf, refine_iterations: int = 0):
+        """Incremental memory over keyframes: [init, +1, +1, ...].
+
+        ``refine_iterations`` re-builds the memory with decoder feedback
+        (feedback_type='single_mlp'): each pass renders the keyframes
+        against the previous memory and injects the resulting features back
+        into a fresh build — the reference's `num_refinements_iterations`
+        surface (inference_multi_ar, panst3r.py:205-210; 0 by default).
+        """
         c = self.model.config
         K = x_kf.shape[0]
         capacity = K * self.n_tokens
         dtype = jnp.bfloat16 if self.amp else jnp.float32
-        mem = memlib.init_memory(c.decoder.depth, 1, capacity,
-                                 c.decoder.dim, dtype=dtype)
         schedule = c.mem_batches(K)
-        start = 0
-        for nb in schedule:
-            xi = x_kf[None, start:start + nb]
-            posi = pos_kf[None, start:start + nb]
-            mem, _ = self._update(self.params, xi, mem, posi)
-            start += nb
+
+        def one_build(feedback):
+            mem = memlib.init_memory(c.decoder.depth, 1, capacity,
+                                     c.decoder.dim, dtype=dtype)
+            start = 0
+            for nb in schedule:
+                xi = x_kf[None, start:start + nb]
+                posi = pos_kf[None, start:start + nb]
+                if feedback is None:
+                    mem, _ = self._update(self.params, xi, mem, posi)
+                else:
+                    fb = feedback[None, start:start + nb]
+                    mem, _, _ = self.model.apply(
+                        self.params, xi, posi, mem, self.grid,
+                        feedback_feats=fb,
+                        method=PanSt3R.decoder_update_feedback)
+                start += nb
+            return mem
+
+        mem = one_build(None)
+        for _ in range(refine_iterations):
+            _, feats = self._render_chunked(x_kf, pos_kf, mem)
+            mem = one_build(feats)
         return mem
 
     def _render_chunked(self, x, pos, mem):

@@ -78,12 +78,17 @@ class MemoryDecoder(nn.Module):
         assert gh * gw == N, (grid, N)
 
         tokens = nn.Dense(c.dim, name="decoder_embed")(x_enc)
-        if feedback_feats is not None and c.feedback == "single_mlp":
+        if c.feedback == "single_mlp":
             # Refinement passes re-inject the previous final features
             # (feedback_type='single_mlp'; unused at 0 refinement iterations
             # as in the reference default, num_refinements_iterations=0).
-            tokens = tokens + Mlp(c.dim * 2, out_features=c.dim,
-                                  name="feedback_mlp")(feedback_feats)
+            # The MLP params are created unconditionally (dummy call) so
+            # checkpoints carry them whether or not refinement is used.
+            fb_mlp = Mlp(c.dim * 2, out_features=c.dim, name="feedback_mlp")
+            if feedback_feats is not None:
+                tokens = tokens + fb_mlp(feedback_feats)
+            else:
+                _ = fb_mlp(jnp.zeros((1, 1, c.dim), tokens.dtype))
 
         flat_pos = pos.reshape(B, V * N, 2)
         mem_bias = memory_mask_bias(mem.valid)          # (B,1,1,M)

@@ -90,6 +90,12 @@ class PanSt3R(nn.Module):
     def decoder_update(self, x, pos, mem, grid):
         return self.must3r_decoder(x, pos, mem, render=False, grid=grid)
 
+    def decoder_update_feedback(self, x, pos, mem, grid, feedback_feats):
+        """Memory update with decoder feedback (refinement passes —
+        feedback_type='single_mlp', reference num_refinements_iterations)."""
+        return self.must3r_decoder(x, pos, mem, render=False, grid=grid,
+                                   feedback_feats=feedback_feats)
+
     def decoder_render(self, x, pos, mem, grid):
         _, pointmaps, feats = self.must3r_decoder(x, pos, mem, render=True,
                                                   grid=grid)

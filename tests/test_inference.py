@@ -150,3 +150,18 @@ def test_view_similarity_and_fps(rng):
 
     assert select_keyframes_linspace(10, 3) == [0, 4, 9]
     assert select_keyframes_linspace(3, None) == [0, 1, 2]
+
+
+def test_refinement_iterations_use_feedback(rng):
+    """Refined memory build (feedback passes) must change — and keep
+    finite — the render outputs; feedback params must exist."""
+    model, params, images, portrait, cls_emb = _setup(rng, V=3)
+    engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=3,
+                             chunk=3, amp=False)
+    x, pos = engine._encode_all(images)
+    mem0 = engine.build_memory(x, pos, refine_iterations=0)
+    mem1 = engine.build_memory(x, pos, refine_iterations=1)
+    pm0, _ = engine._render_chunked(x, pos, mem0)
+    pm1, _ = engine._render_chunked(x, pos, mem1)
+    assert np.isfinite(np.asarray(pm1)).all()
+    assert np.abs(np.asarray(pm0) - np.asarray(pm1)).max() > 1e-5
