@@ -53,7 +53,7 @@ def _rot2d(x, d: int):
 def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref,
             qcos_ref, qsin_ref, kcos_ref, ksin_ref, o_ref,
             m_scr, l_scr, acc_scr, *, scale: float, nk_blocks: int,
-            rope_d: int = 0):
+            rope_d: int = 0, lse_ref=None):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -102,12 +102,19 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref,
         l = l_scr[:, :1]
         l = jnp.where(l == 0.0, 1.0, l)          # fully-masked rows → 0 out
         o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # log-sum-exp per row (fully-masked rows → -inf sentinel).
+            m = m_scr[:, :1]
+            lse = jnp.where(m <= _NEG_INF / 2, _NEG_INF, m + jnp.log(l))
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
-               block_q: int = 256, block_k: int = 512):
+               block_q: int = 256, block_k: int = 512,
+               with_lse: bool = False):
     """rope: optional (qcos, qsin, kcos, ksin), each (B, N, D) fp32 —
-    fused 2D-RoPE tables (see pallas_mha_rope2d)."""
+    fused 2D-RoPE tables (see pallas_mha_rope2d).  with_lse additionally
+    returns the per-row log-sum-exp (needed by the flash backward)."""
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     dtype = q.dtype
@@ -194,17 +201,29 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
         rope_refs = refs[idx:idx + 4] if rope_in else (None,) * 4
         idx += 4 * int(rope_in)
         o_ref = refs[idx]
-        m_scr, l_scr, acc_scr = refs[idx + 1:idx + 4]
+        idx += 1
+        lse_ref = refs[idx] if with_lse else None
+        idx += int(with_lse)
+        m_scr, l_scr, acc_scr = refs[idx:idx + 3]
         _kernel(refs[0], refs[1], refs[2], bias_ref, kvalid_ref,
                 *rope_refs, o_ref, m_scr, l_scr, acc_scr, scale=scale,
-                nk_blocks=nk_blocks, rope_d=D if rope_in else 0)
+                nk_blocks=nk_blocks, rope_d=D if rope_in else 0,
+                lse_ref=lse_ref)
+
+    out_specs = [pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((B * H, Nqp, Dp), dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B * H, Nqp, 128), jnp.float32))
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Nqp, Dp), dtype),
+        out_specs=tuple(out_specs) if with_lse else out_specs[0],
+        out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -220,7 +239,15 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
         ),
     )(*args)
 
+    if with_lse:
+        o, lse = out
+        return (o.reshape(B, H, Nqp, Dp)[:, :, :Nq, :D],
+                lse[:, :, 0].reshape(B, H, Nqp)[:, :, :Nq])
     return out.reshape(B, H, Nqp, Dp)[:, :, :Nq, :D]
+
+
+def _use_flash_bwd() -> bool:
+    return os.environ.get("PANST3R_FLASH_BWD", "1") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -229,12 +256,26 @@ def _pallas_mha(q, k, v, bias, kv_valid, scale):
 
 
 def _mha_fwd(q, k, v, bias, kv_valid, scale):
+    if _use_flash_bwd():
+        out, lse = _flash_fwd(q, k, v, bias, kv_valid, scale, with_lse=True)
+        return out, (q, k, v, bias, kv_valid, out, lse)
     out = _flash_fwd(q, k, v, bias, kv_valid, scale)
-    return out, (q, k, v, bias, kv_valid)
+    return out, (q, k, v, bias, kv_valid, None, None)
 
 
 def _mha_bwd(scale, res, g):
-    q, k, v, bias, kv_valid = res
+    q, k, v, bias, kv_valid, o, lse = res
+    if lse is not None:
+        # Flash backward kernels: p recomputed blockwise from (q, k, lse) —
+        # no (Nq, Nk) materialization.  Bias is treated as
+        # non-differentiable (both model uses are stop_gradient'd attention
+        # masks / ±inf validity biases).
+        from panst3r_tpu.ops.pallas.flash_attention_bwd import flash_bwd
+
+        dq, dk, dv = flash_bwd(q, k, v, bias, kv_valid, None, o, lse, g,
+                               scale)
+        db = jnp.zeros_like(bias) if bias is not None else None
+        return dq, dk, dv, db, None
 
     def ref(q, k, v, bias):
         mask = kv_valid[:, None, None, :] if kv_valid is not None else None
@@ -260,15 +301,29 @@ def _pallas_mha_rope(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, scale):
 
 
 def _mha_rope_fwd(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, scale):
+    if _use_flash_bwd():
+        out, lse = _flash_fwd(q, k, v, bias, kv_valid, scale,
+                              rope=(qcos, qsin, kcos, ksin), with_lse=True)
+        return out, (q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, out,
+                     lse)
     out = _flash_fwd(q, k, v, bias, kv_valid, scale,
                      rope=(qcos, qsin, kcos, ksin))
-    return out, (q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin)
+    return out, (q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, None, None)
 
 
 def _mha_rope_bwd(scale, res, g):
     from panst3r_tpu.ops.rope import apply_rope_tables
 
-    q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin = res
+    q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, o, lse = res
+    if lse is not None:
+        from panst3r_tpu.ops.pallas.flash_attention_bwd import flash_bwd
+
+        dq, dk, dv = flash_bwd(q, k, v, bias, kv_valid,
+                               (qcos, qsin, kcos, ksin), o, lse, g, scale)
+        db = jnp.zeros_like(bias) if bias is not None else None
+        zeros = (jnp.zeros_like(qcos), jnp.zeros_like(qsin),
+                 jnp.zeros_like(kcos), jnp.zeros_like(ksin))
+        return (dq, dk, dv, db, None, *zeros)
 
     def ref(q, k, v, bias):
         qr = apply_rope_tables(q, qcos, qsin)
