@@ -20,6 +20,7 @@ a dedicated backward kernel is a planned optimization.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
