@@ -110,3 +110,22 @@ def test_lse_output_matches_reference(rng):
     ref_lse = jax.nn.logsumexp(logits, axis=-1)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_custom_vjp_end_to_end_kernel_backward(rng):
+    """grad through pallas_mha uses the kernel backward (interpret mode)."""
+    from panst3r_tpu.ops.pallas.flash_attention import pallas_mha
+
+    q, k, v, g = _data(rng, Nq=40, Nk=64, D=32)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_kernel(q, k, v):
+        return (pallas_mha(q, k, v) * g).sum()
+
+    def loss_ref(q, k, v):
+        return (dot_product_attention(q, k, v, scale=scale) * g).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    _check(*gk, gr)
