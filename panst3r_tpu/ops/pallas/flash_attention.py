@@ -248,7 +248,15 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
 
 
 def _use_flash_bwd() -> bool:
-    return os.environ.get("PANST3R_FLASH_BWD", "1") == "1"
+    """Kernel backward (flash_attention_bwd.py) vs XLA-recompute VJP.
+
+    Opt-in (PANST3R_FLASH_BWD=1): at the default training sequence lengths
+    (≤ a few k tokens) XLA's fused recompute measures faster (0.61 vs
+    0.80 s/step on the flagship train step); the kernel backward is the
+    O(N)-memory path for long-memory fine-tuning (decoder training against
+    many-keyframe memories) where the (Nq, Nk) recompute no longer fits.
+    """
+    return os.environ.get("PANST3R_FLASH_BWD", "0") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -125,7 +125,13 @@ def test_custom_vjp_end_to_end_kernel_backward(rng):
     def loss_ref(q, k, v):
         return (dot_product_attention(q, k, v, scale=scale) * g).sum()
 
-    with pltpu.force_tpu_interpret_mode():
-        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    import os
+
+    os.environ["PANST3R_FLASH_BWD"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        os.environ["PANST3R_FLASH_BWD"] = "0"
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     _check(*gk, gr)
