@@ -105,7 +105,11 @@ def main(argv=None):
     classes = sorted(set(dataset.classes))
 
     model = build_model(exp.model_preset)
-    grid = (exp.resolution[0][1] // 16, exp.resolution[0][0] // 16)
+    # One patch grid per resolution bucket (reference trains on a list of
+    # 512×H buckets, base.yaml:46); resolutions are (W, H) with W >= H
+    # (landscape-canonical).  grid keyed by the batch image shape (H, W).
+    grids = {(h, w): (h // 16, w // 16) for (w, h) in exp.resolution}
+    grid = next(iter(grids.values()))
 
     # Text vocabulary → fixed embedding table (reference train.py:185-189).
     # The model's lang_dim must match the tower's embed dim; when it doesn't
@@ -150,8 +154,12 @@ def main(argv=None):
         exp.train, world, steps_per_epoch,
         trainable_mask=trainable_mask(params, tuple(trainable)))
     state = TrainState.create(params, tx)
-    step_fn = make_train_step(model, tx, exp.train.loss, grid,
-                              amp=exp.train.amp)
+    # One compiled step per bucket, routed by batch image shape — the
+    # static-shape analog of the reference's per-sample multi-resolution
+    # batches (batched_map / utils.py:90-196).
+    step_fns = {hw: make_train_step(model, tx, exp.train.loss, g,
+                                    amp=exp.train.amp)
+                for hw, g in grids.items()}
 
     start_epoch = 0
     last = latest_checkpoint(out_dir) if True else None
@@ -176,7 +184,7 @@ def main(argv=None):
                                 num_resolutions=len(exp.resolution))
         with mesh:
             state, stats = train_one_epoch(
-                state, step_fn, batches, cls_emb, mesh, epoch,
+                state, step_fns, batches, cls_emb, mesh, epoch,
                 exp.train.seed, log_writer, exp.print_freq,
                 steps_per_epoch, schedule)
 

@@ -109,8 +109,12 @@ def match(key, pred_logits, pred_masks, targets: Targets,
         cost = (c.mask_weight * _batch_sigmoid_ce(out_pts, tgt_pts)
                 + c.class_weight * cost_class
                 + c.dice_weight * _batch_dice(out_pts, tgt_pts))
+        # ε for the auction must be scaled by the *real* cost span — the
+        # _BIG padding sentinel on invalid columns would inflate it ~1e5×
+        # and push real assignments off the scipy-exact optimum.
+        real_span = jnp.max(jnp.where(valid[None], jnp.abs(cost), 0.0))
         cost = jnp.where(valid[None], cost, _BIG)
-        return auction_lap(cost)                               # (T,)
+        return auction_lap(cost, span=real_span)               # (T,)
 
     keys = jax.random.split(key, B)
     return jax.vmap(per_item)(keys, pred_logits, pred_masks,
@@ -176,11 +180,15 @@ def _loss_masks(key, pred_masks, targets: Targets, assign, num_masks,
     coords = jax.lax.stop_gradient(uncertain_point_coords(
         key, jax.lax.stop_gradient(src), c.num_points, c.oversample_ratio,
         c.importance_sample_ratio))
-    point_logits = point_sample(src, coords).reshape(B * T, -1)
-    point_labels = jax.lax.stop_gradient(
-        point_sample(tgt, coords)).reshape(B * T, -1)
+    # Per-(mask, view) rows of P points each, exactly as the reference's
+    # flatten(0,1) layout (panoptic.py:229-231): CE is the per-row mean over
+    # P, dice is per-row; both are summed over the B*T*V rows, divided by
+    # num_masks and by V (panoptic.py:255-256).
+    point_logits = point_sample(src, coords)                   # (B*T*V, P)
+    point_labels = jax.lax.stop_gradient(point_sample(tgt, coords))
 
-    vmask = targets.valid.reshape(-1).astype(jnp.float32)      # (B*T,)
+    vmask = jnp.repeat(targets.valid.reshape(-1), V)           # (B*T*V,)
+    vmask = vmask.astype(jnp.float32)
     ce = jax.nn.softplus(-point_logits) * point_labels \
         + jax.nn.softplus(point_logits) * (1 - point_labels)
     loss_mask = (ce.mean(1) * vmask).sum() / num_masks / V

@@ -254,7 +254,13 @@ def qubo_fusion(mask_cls, mask_pred, true_shape: tuple[int, int],
     if label_mode == "sigmoid":
         probs_all = jax.nn.sigmoid(mask_cls.astype(jnp.float32))
         if temperature is not None:
-            probs_all = jax.nn.softmax(probs_all / temperature, axis=-1)
+            # Bit-parity quirk: the reference applies sigmoid TWICE when a
+            # temperature is set (postprocess.py:157 sigmoid, then :162
+            # softmax(x.sigmoid()/T) on the already-sigmoided tensor).
+            # Replicated deliberately so QUBO class probabilities match the
+            # released checkpoints' behavior.
+            probs_all = jax.nn.softmax(jax.nn.sigmoid(probs_all) / temperature,
+                                       axis=-1)
     else:
         probs_all = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)
         probs_all = probs_all[..., :-1]

@@ -136,7 +136,15 @@ class TrainState(struct.PyTreeNode):
 
 def build_optimizer(config: TrainConfig, world_size: int,
                     steps_per_epoch: int, trainable_mask=None):
-    schedule = cosine_lr(config, world_size, steps_per_epoch)
+    """steps_per_epoch counts MICRO-batches (train-step calls).
+
+    Under ``optax.MultiSteps`` the inner schedule's counter increments once
+    per optimizer *update* (every accum_iter micro-steps), so the schedule
+    is built over updates-per-epoch; the returned logging schedule maps
+    micro-step counts (``state.step``) back onto the same curve.
+    """
+    updates_per_epoch = max(steps_per_epoch // max(config.accum_iter, 1), 1)
+    schedule = cosine_lr(config, world_size, updates_per_epoch)
     tx = optax.chain(
         optax.clip_by_global_norm(config.clip_grad)
         if config.clip_grad else optax.identity(),
@@ -149,7 +157,11 @@ def build_optimizer(config: TrainConfig, world_size: int,
         tx = optax.masked(tx, trainable_mask)
     if config.accum_iter > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=config.accum_iter)
-    return tx, schedule
+
+    def log_schedule(micro_step):
+        return schedule(micro_step // max(config.accum_iter, 1))
+
+    return tx, log_schedule
 
 
 def make_train_step(model, tx, loss_config: PanopticLossConfig,
@@ -200,13 +212,21 @@ def train_one_epoch(state: TrainState, step_fn, data_iter, cls_embeddings,
                     mesh, epoch: int, seed: int, log_writer=None,
                     print_freq: int = 20, steps_per_epoch: int = 0,
                     schedule=None):
-    """Host-side epoch loop (reference engine/train.py:59-154)."""
+    """Host-side epoch loop (reference engine/train.py:59-154).
+
+    ``step_fn`` is either a single jitted step or a dict keyed by the batch
+    image shape (H, W) — one compiled step per resolution bucket (the
+    reference's multi-resolution recipe, configs/base.yaml:46).
+    """
     key = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
     losses = []
     for it, batch in enumerate(data_iter):
+        fn = step_fn
+        if isinstance(step_fn, dict):
+            fn = step_fn[tuple(batch["images"].shape[2:4])]
         batch = shard_batch(batch, mesh)
-        state, loss, details = step_fn(state, batch, cls_embeddings,
-                                       jax.random.fold_in(key, it))
+        state, loss, details = fn(state, batch, cls_embeddings,
+                                  jax.random.fold_in(key, it))
         loss_value = float(loss)
         if not math.isfinite(loss_value):
             raise FloatingPointError(

@@ -30,10 +30,18 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
 
 
+def gelu_exact(x):
+    """Exact (erf) GELU — torch ``nn.GELU()``'s default, used by croco's
+    `Mlp` and HF ViTs.  flax's ``nn.gelu`` defaults to the tanh
+    approximation, which would break layerwise weight-port parity
+    (~1e-3/layer drift across a 24-block ViT)."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     hidden_features: int
     out_features: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
 
     @nn.compact
     def __call__(self, x):
@@ -157,10 +165,13 @@ class CrossonlyDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, xpos=None, ypos=None):
-        y_ = nn.LayerNorm(name="norm_y")(y)
+        # torch-default LayerNorm eps (1e-5): the reference block uses plain
+        # nn.LayerNorm (blocks.py:24-28), unlike croco blocks (1e-6).
+        y_ = nn.LayerNorm(epsilon=1e-5, name="norm_y")(y)
         x = x + CrossAttention(self.num_heads, self.qkv_bias, self.rope_base,
                                name="cross_attn")(
-            nn.LayerNorm(name="norm2")(x), y_, y_, qpos=xpos, kpos=ypos)
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), y_, y_,
+            qpos=xpos, kpos=ypos)
         x = x + Mlp(int(x.shape[-1] * self.mlp_ratio),
-                    name="mlp")(nn.LayerNorm(name="norm3")(x))
+                    name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
         return x, y

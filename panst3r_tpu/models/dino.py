@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from panst3r_tpu.core import config as cfg
 from panst3r_tpu.models.blocks import Mlp, SelfAttention
+from panst3r_tpu.ops.image import resize_bilinear
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -78,7 +79,8 @@ class DinoEncoder(nn.Module):
         B, H, W, _ = x.shape
         th = H // c.output_stride * c.patch_size
         tw = W // c.output_stride * c.patch_size
-        x = jax.image.resize(x, (B, th, tw, 3), method="bilinear")
+        # torch-exact bilinear, no antialias (reference dino.py:66)
+        x = resize_bilinear(x, th, tw)
 
         x = nn.Conv(c.embed_dim, (c.patch_size, c.patch_size),
                     strides=(c.patch_size, c.patch_size), padding="VALID",

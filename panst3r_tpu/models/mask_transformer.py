@@ -135,7 +135,7 @@ class MaskTransformer(nn.Module):
 
     def setup(self):
         c = self.config
-        self.decoder_norm = nn.LayerNorm()
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5)
         self.lang_embed = nn.Dense(c.lang_dim)
         self.cls_logit_scale = self.param("cls_logit_scale",
                                           nn.initializers.ones, ())
@@ -157,18 +157,18 @@ class MaskTransformer(nn.Module):
         self.cross_attn_layers = [
             _MHA(c.num_heads, name=f"cross_attn_{i}")
             for i in range(c.dec_layers)]
-        self.cross_norms = [nn.LayerNorm(name=f"cross_norm_{i}")
+        self.cross_norms = [nn.LayerNorm(epsilon=1e-5, name=f"cross_norm_{i}")
                             for i in range(c.dec_layers)]
         self.self_attn_layers = [
             _MHA(c.num_heads, name=f"self_attn_{i}")
             for i in range(c.dec_layers)]
-        self.self_norms = [nn.LayerNorm(name=f"self_norm_{i}")
+        self.self_norms = [nn.LayerNorm(epsilon=1e-5, name=f"self_norm_{i}")
                            for i in range(c.dec_layers)]
         self.ffn_fc1 = [nn.Dense(c.ff_dim, name=f"ffn_fc1_{i}")
                         for i in range(c.dec_layers)]
         self.ffn_fc2 = [nn.Dense(c.hidden_dim, name=f"ffn_fc2_{i}")
                         for i in range(c.dec_layers)]
-        self.ffn_norms = [nn.LayerNorm(name=f"ffn_norm_{i}")
+        self.ffn_norms = [nn.LayerNorm(epsilon=1e-5, name=f"ffn_norm_{i}")
                           for i in range(c.dec_layers)]
 
     def _class_logits(self, dec_out, cls_embeddings):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from panst3r_tpu.core import config as cfg
 from panst3r_tpu.models.blocks import CrossonlyDecoderBlock
+from panst3r_tpu.ops.image import resize_bilinear
 
 
 class MinMaxScaler(nn.Module):
@@ -110,15 +111,16 @@ class LoftUpUpscaler(nn.Module):
         # Guidance branch: downscale, Fourier featurize, conv stem.
         H, W = images.shape[1:3]
         hout, wout = H // c.output_stride, W // c.output_stride
-        img = jax.image.resize(images, (B, hout, wout, 3), method="bilinear")
+        # torch-exact bilinear (no antialias) — reference loftup.py:157
+        img = resize_bilinear(images, hout, wout)
         x = MinMaxScaler(name="minmax")(img)
         x = ImplicitFeaturizer(c.color_feats, c.n_freqs, learn_bias=True,
                                name="fourier")(x)
-        x = nn.GroupNorm(num_groups=1, name="gn0")(x)
+        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="gn0")(x)
         x = nn.Conv(c.dim, (3, 3), padding="SAME", name="conv1")(x)
-        x = nn.relu(nn.GroupNorm(num_groups=8, name="gn1")(x))
+        x = nn.relu(nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn1")(x))
         x = nn.Conv(c.dim, (3, 3), padding="SAME", name="conv2")(x)
-        x = nn.relu(nn.GroupNorm(num_groups=8, name="gn2")(x))
+        x = nn.relu(nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn2")(x))
         x = x.reshape(B, hout * wout, c.dim)
 
         # Low-res branch: sine coordinate PE concat + projection.
@@ -126,12 +128,12 @@ class LoftUpUpscaler(nn.Module):
                                    name="lr_pe")(lr)
         lr_cat = jnp.concatenate([lr, lr_pe], axis=-1).reshape(
             B, gh * gw, -1)
-        lr_tokens = nn.LayerNorm(name="lr_proj_norm")(
+        lr_tokens = nn.LayerNorm(epsilon=1e-5, name="lr_proj_norm")(
             nn.Dense(c.dim, name="lr_proj")(lr_cat))
 
         for i in range(c.num_layers):
             x, _ = CrossonlyDecoderBlock(c.num_heads, mlp_ratio=1.0,
                                          name=f"ca_block_{i}")(x, lr_tokens)
-        x = nn.LayerNorm(name="ca_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ca_norm")(x)
         mask_feats = x.reshape(B, hout, wout, c.dim)
         return [patch_feats], mask_feats

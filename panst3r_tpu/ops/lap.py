@@ -28,16 +28,23 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
-def auction_lap(cost: jnp.ndarray, max_iters: int = 5000):
+def auction_lap(cost: jnp.ndarray, max_iters: int = 5000, span=None):
     """Min-cost assignment of columns (bidders) to rows (objects).
 
     cost: (R, C) with R >= C.  Returns row_for_col: (C,) int32 — a distinct
     row index for each column.
+
+    ``span`` optionally overrides the cost scale used to set the bidding
+    increment ε.  Callers that pad invalid columns with a large sentinel
+    MUST pass the span of the *real* costs — otherwise ε inflates by the
+    sentinel magnitude and real assignments drift from optimal.
     """
     R, C = cost.shape
     assert R >= C, "auction_lap expects tall cost matrices (R >= C)"
     benefit = -cost.astype(jnp.float32).T        # (C, R): bidders × objects
-    span = jnp.maximum(jnp.max(jnp.abs(benefit)), 1e-6)
+    if span is None:
+        span = jnp.max(jnp.abs(benefit))
+    span = jnp.maximum(jnp.asarray(span, jnp.float32), 1e-6)
     eps = span * 2e-3 / (C + 1)
 
     def cond(state):

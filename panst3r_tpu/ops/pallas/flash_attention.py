@@ -110,12 +110,24 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref,
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
+def fold_kv_valid(bias, kv_valid):
+    """When both an additive bias and a (B, Nk) key-validity mask are given,
+    fold the validity into the bias as a -inf additive term (the kernels
+    plumb only one of the two); returns (bias, kv_valid) with at most one
+    non-None."""
+    if bias is None or kv_valid is None:
+        return bias, kv_valid
+    vb = jnp.where(kv_valid, 0.0, _NEG_INF).astype(jnp.float32)
+    return bias + vb[:, None, None, :], None
+
+
 def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
                block_q: int = 256, block_k: int = 512,
                with_lse: bool = False):
     """rope: optional (qcos, qsin, kcos, ksin), each (B, N, D) fp32 —
     fused 2D-RoPE tables (see pallas_mha_rope2d).  with_lse additionally
     returns the per-row log-sum-exp (needed by the flash backward)."""
+    bias, kv_valid = fold_kv_valid(bias, kv_valid)
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     dtype = q.dtype

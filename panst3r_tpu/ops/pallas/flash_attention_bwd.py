@@ -111,6 +111,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
 def flash_bwd(q, k, v, bias, kv_valid, rope, o, lse, do, scale,
               block_q: int = 256, block_k: int = 512):
     """Returns (dq, dk, dv) — gradients w.r.t. the UNROTATED q/k/v."""
+    from panst3r_tpu.ops.pallas.flash_attention import fold_kv_valid
+
+    bias, kv_valid = fold_kv_valid(bias, kv_valid)
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     block_q = min(block_q, _round_up(Nq, 128))

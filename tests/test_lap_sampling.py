@@ -59,3 +59,25 @@ def test_uncertain_point_coords_shapes(rng):
     # points kept, reordered by uncertainty.
     pts2 = uncertain_point_coords(jax.random.PRNGKey(1), logits, 32, 1.0, 1.0)
     assert pts2.shape == (4, 32, 2)
+
+
+def test_auction_padded_matches_scipy(rng):
+    """Regression: with _BIG-padded invalid columns, ε must be scaled by
+    the REAL cost span (passed via span=) — previously the sentinel
+    inflated ε ~1e5× and real assignments drifted from optimal."""
+    BIG = 1e6
+    for trial in range(5):
+        Q, T, T_valid = 40, 12, 7
+        cost = rng.standard_normal((Q, T)).astype(np.float32) * 2
+        valid = np.arange(T) < T_valid
+        padded = np.where(valid[None], cost, BIG).astype(np.float32)
+
+        span = np.abs(cost[:, valid]).max()
+        assign = np.asarray(auction_lap(jnp.asarray(padded), span=span))
+        assert len(set(assign.tolist())) == T
+
+        rows, cols = exact_lap(cost[:, :T_valid])
+        optimal = cost[rows, cols].sum()
+        ours = cost[assign[:T_valid], np.arange(T_valid)].sum()
+        # ε-optimality gap bounded by C·ε ≈ 0.2% of the REAL span.
+        assert ours <= optimal + 0.01 * max(1.0, span), (ours, optimal)

@@ -121,3 +121,51 @@ def test_softmax_label_loss_matches_torch(rng):
     expected = F.cross_entropy(tl.transpose(1, 2), target_classes, weight)
 
     np.testing.assert_allclose(float(ours), float(expected), rtol=1e-5)
+
+
+def test_mask_loss_reference_reduction(rng):
+    """Regression: loss_mask/loss_dice follow the reference's per-(mask,view)
+    row reduction (panoptic.py:229-231,255-256): CE = per-row mean over P,
+    dice = per-row, both summed over B*T*V rows / num_masks / V.  Previously
+    CE averaged over V*P jointly AND divided by V (V× too small) and dice
+    was joint over views."""
+    from panst3r_tpu.engine.criterion import _loss_masks
+    from panst3r_tpu.ops.sampling import point_sample, uncertain_point_coords
+
+    B, T, V, Q, h, w = 1, 3, 3, 6, 8, 8
+    cfg = PanopticLossConfig(num_points=16, oversample_ratio=1.0,
+                             importance_sample_ratio=1.0)
+    pred = rng.standard_normal((B, V, Q, h, w)).astype(np.float32)
+    tmasks = (rng.random((B, T, V, h, w)) < 0.5).astype(np.float32)
+    valid = np.array([[True, True, False]])
+    assign = np.array([[0, 3, 1]], np.int32)
+    targets = Targets(jnp.zeros((B, T), jnp.int32), jnp.asarray(tmasks),
+                      jnp.asarray(valid), jnp.ones((B, 4), bool))
+    num_masks = float(valid.sum())
+    key = jax.random.PRNGKey(7)
+
+    lm, ld = _loss_masks(key, jnp.asarray(pred), targets,
+                         jnp.asarray(assign), num_masks, cfg)
+
+    # Independent reference-style computation with identical sample coords.
+    src = pred.transpose(0, 2, 1, 3, 4)[
+        np.zeros((B, T), int), assign]                  # (B, T, V, h, w)
+    src = jnp.asarray(src.reshape(B * T * V, h, w), jnp.float32)
+    tgt = jnp.asarray(tmasks.reshape(B * T * V, h, w), jnp.float32)
+    coords = uncertain_point_coords(key, src, cfg.num_points, 1.0, 1.0)
+    pl_ = torch.from_numpy(np.asarray(point_sample(src, coords)))
+    lb = torch.from_numpy(np.asarray(point_sample(tgt, coords)))
+
+    ce = torch.nn.functional.binary_cross_entropy_with_logits(
+        pl_, lb, reduction="none")
+    vmask = torch.from_numpy(np.repeat(valid.reshape(-1), V)).float()
+    exp_mask = (ce.mean(1) * vmask).sum() / num_masks / V
+
+    probs = pl_.sigmoid()
+    num = 2 * (probs * lb).sum(-1)
+    den = probs.sum(-1) + lb.sum(-1)
+    dice = 1 - (num + 1) / (den + 1)
+    exp_dice = (dice * vmask).sum() / num_masks / V
+
+    np.testing.assert_allclose(float(lm), float(exp_mask), rtol=1e-5)
+    np.testing.assert_allclose(float(ld), float(exp_dice), rtol=1e-5)

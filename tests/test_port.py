@@ -90,7 +90,8 @@ def test_mask_transformer_port_shapes(rng):
                                 num_queries=8, num_heads=4, dec_layers=2,
                                 lang_dim=24, fpn_dims=(32,))
     sd = _fake_reference_mask_transformer_sd(rng, cfg)
-    ported, _ = port.port_mask_transformer(sd, dec_layers=cfg.dec_layers)
+    ported = port.port_mask_transformer(port.Port(sd),
+                                        dec_layers=cfg.dec_layers)
 
     # Must structurally match a real init (same leaves, same shapes).
     model = MaskTransformer(cfg)

@@ -132,3 +132,25 @@ def test_flash_kernel_with_bias_and_validity(rng):
     ref2 = dot_product_attention(q, k[:, :, :100], v[:, :, :100])
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_flash_kernel_bias_plus_kv_valid_combined(rng):
+    """Regression: bias AND (B,1,1,Nk) validity mask together must both
+    apply (previously kv_valid was silently dropped when bias was set)."""
+    from panst3r_tpu.ops.pallas import flash_attention as fa
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Nq, Nk, D = 1, 2, 64, 160, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, n, D)) * 0.5,
+                           jnp.float32) for n in (Nq, Nk, Nk))
+    bias = jnp.asarray(
+        np.where(rng.random((B, H, Nq, Nk)) < 0.3, -1e9, 0.0), jnp.float32)
+    valid = jnp.arange(Nk)[None] < 100
+    mask4 = jnp.broadcast_to(valid[:, None, None, :], (B, 1, 1, Nk))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.pallas_mha(q, k, v, bias=bias, mask=mask4)
+    ref = dot_product_attention(q, k, v, bias=bias,
+                                mask=valid[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

@@ -22,7 +22,9 @@ def test_train_cli_end_to_end(tmp_path, rng):
     exp = train_app.ExperimentConfig(
         model_preset="tiny",
         data_root=str(data_root),
-        resolution=((48, 32),),
+        # TWO buckets: every batch draws one (the reference's
+        # multi-resolution recipe, base.yaml:46) — one compiled step each.
+        resolution=((48, 32), (32, 32)),
         num_views=2,
         aug_crop=0,
         train=TrainConfig(epochs=2, warmup_epochs=0, lr=1e-3, batch_size=2,

@@ -1,28 +1,45 @@
 """Port torch PanSt3R checkpoint weights into panst3r_tpu param trees.
 
 The reference ships torch checkpoints (`PanSt3R_v1_512_5ds.pth` etc.,
-README.md:126-133) whose state_dict layout follows
-/root/reference/src/panst3r/model/*.  This tool maps the modules whose
-architecture this framework mirrors 1:1 — the mask transformer, upscalers,
-input mixer and panoptic-decoder glue — into the flax param tree
-(linear kernels transposed, torch-MHA packed qkv split, conv OIHW→HWIO).
+/root/reference/README.md:126-133) whose state_dict layout follows
+/root/reference/src/panst3r/model/* plus the external must3r/dust3r/croco
+and HF modules.  This tool maps 100% of a reference-shaped state_dict for
+both v1 (PixelShuffle) and v2 (InputMixer + LoftUp) presets:
 
-The MUSt3R encoder/decoder and DINO towers live in external repos whose
-sources are not vendored here; their mapping entries cover the canonical
-CroCo ViT naming (patch_embed / blocks.i.{norm1,attn.qkv,attn.proj,norm2,
-mlp.fc1,mlp.fc2} / norm) and report anything unmapped, so a user with the
-real checkpoints gets an explicit diff of what ported and what needs
-attention instead of a silent partial load (the reference itself loads
-with strict=False everywhere, panst3r.py:323).
+- mask transformer / upscalers / input mixer / panoptic glue — source on
+  disk, naming exact (src/panst3r/model/*.py).
+- DINOv2 — HF `transformers` Dinov2Model naming (the reference wraps
+  `AutoModel.from_pretrained('facebook/dinov2-large')` as
+  `dino_encoder.dinov2`, model/dino.py:11-13,53).
+- MUSt3R encoder/decoder — external sources are NOT on this machine; the
+  naming below follows the dust3r/croco conventions must3r builds on
+  (`patch_embed.proj` / `enc_blocks.i` / `enc_norm`;
+  `decoder_embed` / `dec_blocks.i.{norm1,attn.qkv,attn.proj,norm2,
+  cross_attn.projq|projk|projv|proj,norm3,mlp.fc1|fc2,norm_y}` /
+  `dec_norm`), with candidate-name fallbacks and a `--rename-json` hook so
+  a user holding the real checkpoint can bridge any residual naming drift
+  without code changes.  The text encoder holds NO state_dict entries
+  (class_embeddings is a plain attr, text_encoder.py:92) — nothing to port.
+
+RoPE layout: croco's cuRoPE kernel and its torch `RoPE2D` fallback both
+rotate within each y/x half of the head dim (token layout
+[u_y | v_y | u_x | v_x], rotate-half per half) — the same convention as
+ops/rope.py.  If a checkpoint family ever pairs channels interleaved
+((2i, 2i+1) pairs, GPT-J style) instead, pass --rope-layout interleaved:
+the q/k projection rows of every RoPE-bearing attention are permuted at
+port time so our rotate-half kernel computes the identical attention
+(q·k is invariant to a joint q/k channel permutation; v is untouched).
 
 Usage:
-  python tools/port_torch_checkpoint.py --torch ckpt.pth \
-      --preset v1 --out ported_params/
+  python tools/port_torch_checkpoint.py --torch ckpt.pth --out ported/ \
+      [--rope-layout half|interleaved] [--rename-json m.json]
 """
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import re
 import sys
 
 import numpy as np
@@ -49,6 +66,70 @@ def split_qkv(w, b):
             for i in range(3)]
 
 
+def interleave_to_half_perm(D: int) -> np.ndarray:
+    """Permutation taking half-layout rotate-half channel index → the
+    channel holding the same rotary pair element under interleaved
+    (2i, 2i+1) pairing, applied independently to the y-half and x-half of
+    a RoPE-2D head dim D.  perm[i] = 2i, perm[i + D/4] = 2i + 1 within
+    each half."""
+    q = D // 4
+    perm = np.empty(D, np.int64)
+    for half in range(2):          # y half then x half
+        base = half * (D // 2)
+        for i in range(q):
+            perm[base + i] = base + 2 * i
+            perm[base + q + i] = base + 2 * i + 1
+    return perm
+
+
+def permute_qk_rows(w, num_heads: int) -> np.ndarray:
+    """Permute the OUTPUT rows of a torch q/k projection weight (C, in) —
+    or bias (C,) — from interleaved-pair RoPE layout to rotate-half layout,
+    per head."""
+    w = np.asarray(w)
+    C = w.shape[0]
+    hd = C // num_heads
+    perm = interleave_to_half_perm(hd)
+    idx = np.concatenate([h * hd + perm for h in range(num_heads)])
+    return w[idx]
+
+
+class Port:
+    """State-dict accessor that tracks consumed keys + applies renames."""
+
+    def __init__(self, sd: dict, rename: dict | None = None,
+                 rope_layout: str = "half"):
+        self.sd = dict(sd)
+        if rename:
+            for pat, repl in rename.items():
+                self.sd = {re.sub(pat, repl, k): v
+                           for k, v in self.sd.items()}
+        self.used: set = set()
+        self.ignored: set = set()
+        self.rope_layout = rope_layout
+
+    def __contains__(self, key):
+        return key in self.sd
+
+    def get(self, key):
+        self.used.add(key)
+        return self.sd[key]
+
+    def first(self, *candidates):
+        """First present candidate key (supports naming drift for modules
+        whose source is not on disk)."""
+        for c in candidates:
+            if c in self.sd:
+                return c
+        raise KeyError(candidates)
+
+    def ignore(self, *keys):
+        self.ignored.update(k for k in keys if k in self.sd)
+
+    def unmapped(self):
+        return sorted(set(self.sd) - self.used - self.ignored)
+
+
 def _set(tree, path, value):
     node = tree
     for p in path[:-1]:
@@ -56,27 +137,259 @@ def _set(tree, path, value):
     node[path[-1]] = np.asarray(value)
 
 
-def _ln(tree, path, sd, prefix):
-    _set(tree, path + ("scale",), sd[prefix + ".weight"])
-    _set(tree, path + ("bias",), sd[prefix + ".bias"])
+def _ln(ctx, tree, path, prefix):
+    _set(tree, path + ("scale",), ctx.get(prefix + ".weight"))
+    _set(tree, path + ("bias",), ctx.get(prefix + ".bias"))
 
 
-def _linear(tree, path, sd, prefix):
-    _set(tree, path + ("kernel",), t(sd[prefix + ".weight"]))
-    if prefix + ".bias" in sd:
-        _set(tree, path + ("bias",), sd[prefix + ".bias"])
+def _linear(ctx, tree, path, prefix):
+    _set(tree, path + ("kernel",), t(ctx.get(prefix + ".weight")))
+    if prefix + ".bias" in ctx:
+        _set(tree, path + ("bias",), ctx.get(prefix + ".bias"))
 
 
-def port_mask_transformer(sd: dict, dec_layers: int = 6,
-                          prefix: str = "panoptic_decoder.mask_transformer"
-                          ) -> tuple[dict, list]:
-    """Map the reference MaskTransformer state_dict → our param subtree."""
+def _conv(ctx, tree, path, prefix):
+    _set(tree, path + ("kernel",), conv_hwio(ctx.get(prefix + ".weight")))
+    if prefix + ".bias" in ctx:
+        _set(tree, path + ("bias",), ctx.get(prefix + ".bias"))
+
+
+def _groupnorm(ctx, tree, path, prefix):
+    _set(tree, path + ("scale",), ctx.get(prefix + ".weight"))
+    _set(tree, path + ("bias",), ctx.get(prefix + ".bias"))
+
+
+def _mlp(ctx, tree, path, prefix):
+    _linear(ctx, tree, path + ("fc1",), prefix + ".fc1")
+    _linear(ctx, tree, path + ("fc2",), prefix + ".fc2")
+
+
+def _packed_qkv(ctx, tree, path, prefix, num_heads=None, rope=False):
+    """croco Attention packed qkv Linear (3C, C) → our Dense(3C) kernel,
+    optionally permuting q/k rows for interleaved→half RoPE layout."""
+    w = np.asarray(ctx.get(prefix + ".weight"))
+    b = np.asarray(ctx.get(prefix + ".bias")) \
+        if prefix + ".bias" in ctx else None
+    if rope and ctx.rope_layout == "interleaved":
+        C = w.shape[0] // 3
+        wq, wk, wv = w[:C], w[C:2 * C], w[2 * C:]
+        w = np.concatenate([permute_qk_rows(wq, num_heads),
+                            permute_qk_rows(wk, num_heads), wv], 0)
+        if b is not None:
+            bq, bk, bv = b[:C], b[C:2 * C], b[2 * C:]
+            b = np.concatenate([permute_qk_rows(bq, num_heads),
+                                permute_qk_rows(bk, num_heads), bv], 0)
+    _set(tree, path + ("kernel",), t(w))
+    if b is not None:
+        _set(tree, path + ("bias",), b)
+
+
+def _cross_attn(ctx, tree, path, prefix, num_heads=None, rope=False):
+    """croco CrossAttention: projq/projk/projv/proj Linears."""
+    for name in ("projq", "projk", "projv", "proj"):
+        w = np.asarray(ctx.get(f"{prefix}.{name}.weight"))
+        b = np.asarray(ctx.get(f"{prefix}.{name}.bias")) \
+            if f"{prefix}.{name}.bias" in ctx else None
+        if (rope and ctx.rope_layout == "interleaved"
+                and name in ("projq", "projk")):
+            w = permute_qk_rows(w, num_heads)
+            if b is not None:
+                b = permute_qk_rows(b, num_heads)
+        _set(tree, path + (name, "kernel"), t(w))
+        if b is not None:
+            _set(tree, path + (name, "bias"), b)
+
+
+def _croco_block(ctx, tree, path, prefix, num_heads, rope=True):
+    """croco `Block`: norm1/attn(qkv,proj)/norm2/mlp(fc1,fc2)."""
+    _ln(ctx, tree, path + ("norm1",), f"{prefix}.norm1")
+    _packed_qkv(ctx, tree, path + ("attn", "qkv"), f"{prefix}.attn.qkv",
+                num_heads, rope)
+    _linear(ctx, tree, path + ("attn", "proj"), f"{prefix}.attn.proj")
+    _ln(ctx, tree, path + ("norm2",), f"{prefix}.norm2")
+    _mlp(ctx, tree, path + ("mlp",), f"{prefix}.mlp")
+
+
+# ---------------------------------------------------------------------------
+# Per-module ports
+# ---------------------------------------------------------------------------
+
+def port_encoder(ctx: Port, depth: int = 24, num_heads: int = 16,
+                 prefix: str = "must3r_encoder") -> dict:
+    """Dust3rEncoder (croco ViT-L/16 + 2D RoPE).  dust3r naming:
+    `patch_embed.proj`, `enc_blocks.i.*`, `enc_norm`; croco-generic
+    `blocks.i` / `norm` accepted as fallback."""
     out: dict = {}
-    used = set()
+    pe = ctx.first(f"{prefix}.patch_embed.proj.weight")
+    _set(out, ("patch_embed", "kernel"), conv_hwio(ctx.get(pe)))
+    _set(out, ("patch_embed", "bias"),
+         ctx.get(f"{prefix}.patch_embed.proj.bias"))
+    blocks = "enc_blocks" if f"{prefix}.enc_blocks.0.norm1.weight" in ctx \
+        else "blocks"
+    for i in range(depth):
+        _croco_block(ctx, out, (f"block_{i}",), f"{prefix}.{blocks}.{i}",
+                     num_heads, rope=True)
+    normp = ctx.first(f"{prefix}.enc_norm.weight", f"{prefix}.norm.weight")
+    _ln(ctx, out, ("norm",), normp[:-len(".weight")])
+    return out
+
+
+def port_memory_decoder(ctx: Port, depth: int = 12, num_heads: int = 12,
+                        prefix: str = "must3r_decoder") -> dict:
+    """MUSt3R memory decoder (external; naming per module docstring).
+
+    Our layout (models/decoder.py): decoder_embed, feedback_mlp(fc1,fc2),
+    per-layer norm_y_i / norm1_i / self_attn_i(qkv,proj) / norm2_i /
+    cross_attn_i(projq,projk,projv,proj) / norm3_i / mlp_i(fc1,fc2),
+    final `norm`, pointmap `head` (Dense N→p*p*7)."""
+    out: dict = {}
+    _linear(ctx, out, ("decoder_embed",), f"{prefix}.decoder_embed")
+
+    fb = None
+    for cand in (f"{prefix}.feedback_mlp", f"{prefix}.feedback",
+                 f"{prefix}.mem_feedback"):
+        if f"{cand}.fc1.weight" in ctx:
+            fb = cand
+            break
+    if fb is not None:
+        _mlp(ctx, out, ("feedback_mlp",), fb)
+
+    for i in range(depth):
+        b = f"{prefix}.dec_blocks.{i}"
+        _ln(ctx, out, (f"norm1_{i}",), f"{b}.norm1")
+        _packed_qkv(ctx, out, (f"self_attn_{i}", "qkv"), f"{b}.attn.qkv",
+                    num_heads, rope=True)
+        _linear(ctx, out, (f"self_attn_{i}", "proj"), f"{b}.attn.proj")
+        _ln(ctx, out, (f"norm2_{i}",), f"{b}.norm2")
+        _cross_attn(ctx, out, (f"cross_attn_{i}",), f"{b}.cross_attn",
+                    num_heads, rope=True)
+        _ln(ctx, out, (f"norm3_{i}",), f"{b}.norm3")
+        _mlp(ctx, out, (f"mlp_{i}",), f"{b}.mlp")
+        _ln(ctx, out, (f"norm_y_{i}",), f"{b}.norm_y")
+
+    normp = ctx.first(f"{prefix}.dec_norm.weight", f"{prefix}.norm.weight")
+    _ln(ctx, out, ("norm",), normp[:-len(".weight")])
+
+    headp = ctx.first(f"{prefix}.head.proj.weight",
+                      f"{prefix}.head.weight",
+                      f"{prefix}.downstream_head.proj.weight",
+                      f"{prefix}.prediction_head.proj.weight")
+    _linear(ctx, out, ("head",), headp[:-len(".weight")])
+    return out
+
+
+def port_dino(ctx: Port, depth: int = 24,
+              prefix: str = "dino_encoder.dinov2") -> dict:
+    """HF Dinov2Model → our DinoEncoder.
+
+    HF naming (transformers modeling_dinov2): embeddings.{cls_token,
+    mask_token,position_embeddings,patch_embeddings.projection},
+    encoder.layer.i.{norm1,attention.attention.query|key|value,
+    attention.output.dense,layer_scale1.lambda1,norm2,mlp.fc1|fc2,
+    layer_scale2.lambda1}, layernorm.  mask_token is inference-unused and
+    intentionally dropped."""
+    out: dict = {}
+    emb = f"{prefix}.embeddings"
+    _set(out, ("cls_token",), ctx.get(f"{emb}.cls_token"))
+    _set(out, ("pos_embed",), ctx.get(f"{emb}.position_embeddings"))
+    _conv(ctx, out, ("patch_embed",), f"{emb}.patch_embeddings.projection")
+    ctx.ignore(f"{emb}.mask_token")
+
+    for i in range(depth):
+        L = f"{prefix}.encoder.layer.{i}"
+        blk = (f"block_{i}",)
+        _ln(ctx, out, blk + ("norm1",), f"{L}.norm1")
+        # separate q/k/v Linears → packed qkv Dense kernel (C, 3C)
+        qw = t(ctx.get(f"{L}.attention.attention.query.weight"))
+        kw = t(ctx.get(f"{L}.attention.attention.key.weight"))
+        vw = t(ctx.get(f"{L}.attention.attention.value.weight"))
+        _set(out, blk + ("attn", "qkv", "kernel"),
+             np.concatenate([qw, kw, vw], axis=1))
+        _set(out, blk + ("attn", "qkv", "bias"), np.concatenate([
+            ctx.get(f"{L}.attention.attention.query.bias"),
+            ctx.get(f"{L}.attention.attention.key.bias"),
+            ctx.get(f"{L}.attention.attention.value.bias")]))
+        _linear(ctx, out, blk + ("attn", "proj"),
+                f"{L}.attention.output.dense")
+        _set(out, blk + ("ls1",), ctx.get(f"{L}.layer_scale1.lambda1"))
+        _ln(ctx, out, blk + ("norm2",), f"{L}.norm2")
+        _mlp(ctx, out, blk + ("mlp",), f"{L}.mlp")
+        _set(out, blk + ("ls2",), ctx.get(f"{L}.layer_scale2.lambda1"))
+
+    _ln(ctx, out, ("norm",), f"{prefix}.layernorm")
+    return out
+
+
+def port_input_mixer(ctx: Port, num_layers: int = 3, num_heads: int = 12,
+                     prefix: str = "panoptic_decoder.input_mixer") -> dict:
+    """InputMixer (source on disk: model/input_mixer.py:8-29)."""
+    out: dict = {}
+    _linear(ctx, out, ("in_proj",), f"{prefix}.in_proj")
+    for i in range(num_layers):
+        _croco_block(ctx, out, (f"mixer_blk_{i}",), f"{prefix}.mixer_blk.{i}",
+                     num_heads, rope=True)
+    _ln(ctx, out, ("mixer_norm",), f"{prefix}.mixer_norm")
+    return out
+
+
+def _implicit_biases(x, n_freqs: int):
+    """Reference ImplicitFeaturizer stores biases as (2, dm, n_freqs) but
+    *reshapes* (not transposes) each (dm, n_freqs) slab to (n_freqs, dm) at
+    use time (loftup.py:62-63); our module transposes its (2, dm, n_freqs)
+    param — so port via reshape-then-transpose per slab."""
+    x = np.asarray(x)
+    two, dm, nf = x.shape
+    assert nf == n_freqs
+    return np.stack([x[i].reshape(nf, dm).T for i in range(two)])
+
+
+def port_loftup(ctx: Port, num_layers: int = 2,
+                prefix: str = "panoptic_decoder.upscaler") -> dict:
+    """LoftUpUpscaler (source on disk: model/upscalers/loftup.py:84-190)."""
+    out: dict = {}
+    _conv(ctx, out, ("patch_embed",), f"{prefix}.patch_embed")
+    _set(out, ("lr_pe", "biases"),
+         _implicit_biases(ctx.get(f"{prefix}.lr_pe.biases"), 5))
+    _set(out, ("fourier", "biases"),
+         _implicit_biases(ctx.get(f"{prefix}.fourier_feat.1.biases"), 20))
+    _linear(ctx, out, ("lr_proj",), f"{prefix}.lr_input_proj.0")
+    _ln(ctx, out, ("lr_proj_norm",), f"{prefix}.lr_input_proj.1")
+    # first_conv Sequential: 0 GN(1) / 1 Conv / 2 GN(8) / 4 Conv / 5 GN(8)
+    _groupnorm(ctx, out, ("gn0",), f"{prefix}.first_conv.0")
+    _conv(ctx, out, ("conv1",), f"{prefix}.first_conv.1")
+    _groupnorm(ctx, out, ("gn1",), f"{prefix}.first_conv.2")
+    _conv(ctx, out, ("conv2",), f"{prefix}.first_conv.4")
+    _groupnorm(ctx, out, ("gn2",), f"{prefix}.first_conv.5")
+    for i in range(num_layers):
+        b = f"{prefix}.ca_transformer_blocks.{i}"
+        blk = (f"ca_block_{i}",)
+        _cross_attn(ctx, out, blk + ("cross_attn",), f"{b}.cross_attn")
+        _ln(ctx, out, blk + ("norm2",), f"{b}.norm2")
+        _ln(ctx, out, blk + ("norm3",), f"{b}.norm3")
+        _mlp(ctx, out, blk + ("mlp",), f"{b}.mlp")
+        _ln(ctx, out, blk + ("norm_y",), f"{b}.norm_y")
+    _ln(ctx, out, ("ca_norm",), f"{prefix}.ca_transformer_norm")
+    return out
+
+
+def port_pixel_shuffle(ctx: Port,
+                       prefix: str = "panoptic_decoder.upscaler") -> dict:
+    """PixelShuffleUpscaler (model/upscalers/pixel_shuffle.py:16-31)."""
+    out: dict = {}
+    for name in ("proj_8", "proj_4", "proj_2", "proj_16"):
+        _mlp(ctx, out, (name,), f"{prefix}.{name}")
+    return out
+
+
+def port_mask_transformer(ctx: Port, dec_layers: int = 6,
+                          prefix: str = "panoptic_decoder.mask_transformer"
+                          ) -> dict:
+    """MaskTransformer (model/mask_transformer.py:12-295), proven bit-exact
+    vs torch MHA in tests/test_port.py."""
+    out: dict = {}
 
     def grab(name):
-        used.add(prefix + "." + name)
-        return sd[prefix + "." + name]
+        return ctx.get(prefix + "." + name)
 
     _set(out, ("query_feat",), grab("query_feat.weight"))
     _set(out, ("query_embed",), grab("query_embed.weight"))
@@ -93,7 +406,6 @@ def port_mask_transformer(sd: dict, dec_layers: int = 6,
              grab(f"mask_embed.layers.{i}.bias"))
 
     for i in range(dec_layers):
-        # reference ModuleList names: cross_attn_layers.i / self_attn_layers.i
         for ours, theirs in ((f"cross_attn_{i}",
                               f"cross_attn_layers.{i}.multihead_attn"),
                              (f"self_attn_{i}",
@@ -123,67 +435,69 @@ def port_mask_transformer(sd: dict, dec_layers: int = 6,
         _set(out, (f"ffn_fc2_{i}", "bias"), grab(f"ffn_layers.{i}.linear2.bias"))
         _set(out, (f"ffn_norm_{i}", "scale"), grab(f"ffn_layers.{i}.norm.weight"))
         _set(out, (f"ffn_norm_{i}", "bias"), grab(f"ffn_layers.{i}.norm.bias"))
-    return out, sorted(used)
-
-
-def port_pixel_shuffle(sd: dict,
-                       prefix: str = "panoptic_decoder.upscaler") -> dict:
-    out: dict = {}
-    for name in ("proj_8", "proj_4", "proj_2", "proj_16"):
-        for fc in ("fc1", "fc2"):
-            _linear(out, (name, fc), sd, f"{prefix}.{name}.{fc}")
     return out
 
 
-def port_croco_vit_blocks(sd: dict, depth: int, prefix: str) -> dict:
-    """CroCo ViT naming: blocks.i.{norm1,attn.qkv,attn.proj,norm2,
-    mlp.fc1,mlp.fc2} (+ final norm, patch_embed.proj)."""
-    out: dict = {}
-    if f"{prefix}.patch_embed.proj.weight" in sd:
-        _set(out, ("patch_embed", "kernel"),
-             conv_hwio(sd[f"{prefix}.patch_embed.proj.weight"]))
-        _set(out, ("patch_embed", "bias"), sd[f"{prefix}.patch_embed.proj.bias"])
-    for i in range(depth):
-        b = f"{prefix}.blocks.{i}"
-        blk = (f"block_{i}",)
-        _ln(out, blk + ("norm1",), sd, f"{b}.norm1")
-        _linear(out, blk + ("attn", "qkv"), sd, f"{b}.attn.qkv")
-        _linear(out, blk + ("attn", "proj"), sd, f"{b}.attn.proj")
-        _ln(out, blk + ("norm2",), sd, f"{b}.norm2")
-        _linear(out, blk + ("mlp", "fc1"), sd, f"{b}.mlp.fc1")
-        _linear(out, blk + ("mlp", "fc2"), sd, f"{b}.mlp.fc2")
-    if f"{prefix}.norm.weight" in sd:
-        _ln(out, ("norm",), sd, f"{prefix}.norm")
-    return out
+# ---------------------------------------------------------------------------
+# Full checkpoint
+# ---------------------------------------------------------------------------
+
+def _infer_depth(sd: dict, pattern: str) -> int:
+    """Count layers by scanning `pattern.format(i)` key presence."""
+    i = 0
+    while pattern.format(i) in sd:
+        i += 1
+    return i
 
 
-def port_checkpoint(sd: dict, dec_layers: int = 6) -> tuple[dict, dict]:
-    """Best-effort port of a reference PanSt3R state_dict.
+def port_checkpoint(sd: dict, dec_layers: int | None = None,
+                    rename: dict | None = None,
+                    rope_layout: str = "half") -> tuple[dict, dict]:
+    """Port a full reference PanSt3R state_dict (v1 or v2).
 
-    Returns (params subtree dict, report dict with 'ported'/'unmapped').
+    Returns (params subtree dict, report dict).  The goal state is ZERO
+    unmapped keys; anything left is listed explicitly in the report.
+    Depths are inferred from the state_dict itself.
     """
+    ctx = Port(sd, rename=rename, rope_layout=rope_layout)
+    sdk = ctx.sd
+    if dec_layers is None:
+        dec_layers = _infer_depth(
+            sdk, "panoptic_decoder.mask_transformer.ffn_layers.{}.norm.weight")
+    blocks = "enc_blocks" if any(".enc_blocks." in k for k in sdk) else "blocks"
+    depth_enc = _infer_depth(sdk, "must3r_encoder." + blocks
+                             + ".{}.norm1.weight")
+    depth_dec = _infer_depth(sdk, "must3r_decoder.dec_blocks.{}.norm1.weight")
+    depth_dino = _infer_depth(sdk,
+                              "dino_encoder.dinov2.encoder.layer.{}.norm1.weight")
     ported: dict = {"panoptic_decoder": {}}
-    used: set = set()
+    pd = ported["panoptic_decoder"]
 
-    mt, mt_used = port_mask_transformer(sd, dec_layers)
-    ported["panoptic_decoder"]["mask_transformer"] = mt
-    used.update(mt_used)
+    if "panoptic_decoder.mask_transformer.query_feat.weight" in ctx:
+        pd["mask_transformer"] = port_mask_transformer(ctx, dec_layers)
+    if "panoptic_decoder.upscaler.proj_8.fc1.weight" in ctx:
+        pd["upscaler"] = port_pixel_shuffle(ctx)
+    if "panoptic_decoder.upscaler.ca_transformer_norm.weight" in ctx:
+        n_ca = _infer_depth(
+            sdk, "panoptic_decoder.upscaler.ca_transformer_blocks.{}"
+            ".norm2.weight")
+        pd["upscaler"] = port_loftup(ctx, num_layers=n_ca)
+    if "panoptic_decoder.input_mixer.in_proj.weight" in ctx:
+        n_mix = _infer_depth(
+            sdk, "panoptic_decoder.input_mixer.mixer_blk.{}.norm1.weight")
+        pd["input_mixer"] = port_input_mixer(ctx, num_layers=n_mix)
+    if "panoptic_decoder.nocls_token" in ctx:
+        pd["nocls_token"] = np.asarray(ctx.get("panoptic_decoder.nocls_token"))
 
-    if any(k.startswith("panoptic_decoder.upscaler.proj_8") for k in sd):
-        ps = port_pixel_shuffle(sd)
-        ported["panoptic_decoder"]["upscaler"] = ps
-        used.update(k for k in sd if k.startswith("panoptic_decoder.upscaler"))
+    if any(k.startswith("must3r_encoder.") for k in ctx.sd):
+        ported["must3r_encoder"] = port_encoder(ctx, depth_enc)
+    if any(k.startswith("must3r_decoder.") for k in ctx.sd):
+        ported["must3r_decoder"] = port_memory_decoder(ctx, depth_dec)
+    if any(k.startswith("dino_encoder.") for k in ctx.sd):
+        ported["dino_encoder"] = port_dino(ctx, depth_dino)
 
-    enc = port_croco_vit_blocks(sd, 24, "must3r_encoder")
-    if enc:
-        ported["must3r_encoder"] = enc
-        used.update(k for k in sd if k.startswith("must3r_encoder"))
-
-    unmapped = sorted(k for k in sd if k not in used
-                      and not k.startswith(tuple(sorted(
-                          {u.rsplit(".", 1)[0] for u in used}))))
-    report = {"ported_keys": len(used), "total_keys": len(sd),
-              "unmapped": unmapped}
+    report = {"ported_keys": len(ctx.used), "total_keys": len(ctx.sd),
+              "ignored": sorted(ctx.ignored), "unmapped": ctx.unmapped()}
     return ported, report
 
 
@@ -191,7 +505,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch", required=True, help=".pth checkpoint path")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--dec-layers", type=int, default=6)
+    ap.add_argument("--dec-layers", type=int, default=None,
+                    help="override inferred mask-transformer depth")
+    ap.add_argument("--rope-layout", choices=("half", "interleaved"),
+                    default="half")
+    ap.add_argument("--rename-json", default=None,
+                    help="JSON {regex: replacement} applied to keys first")
     args = ap.parse_args(argv)
 
     import torch
@@ -200,11 +519,16 @@ def main(argv=None):
     sd = ckpt.get("weights", ckpt)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
-    ported, report = port_checkpoint(sd, args.dec_layers)
+    rename = None
+    if args.rename_json:
+        with open(args.rename_json) as f:
+            rename = json.load(f)
+
+    ported, report = port_checkpoint(sd, args.dec_layers, rename=rename,
+                                     rope_layout=args.rope_layout)
     os.makedirs(args.out, exist_ok=True)
     flat = dict(_flatten(ported))
     np.savez(os.path.join(args.out, "ported_params.npz"), **flat)
-    import json
 
     with open(os.path.join(args.out, "port_report.json"), "w") as f:
         json.dump(report, f, indent=2)
