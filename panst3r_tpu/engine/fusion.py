@@ -28,18 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _fusion_scores(mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
-                   temperature):
-    """Shared prep: upsampled sigmoid masks + per-query scores/labels.
-
-    Mask math runs in bf16 (sigmoid probabilities in [0,1] — well within
-    bf16 range; area sums accumulate in f32 downstream).
-    """
-    B, V, Q = mask_pred.shape[:3]
-    H, W = true_shape
-    masks = jax.nn.sigmoid(mask_pred.astype(jnp.float32)).astype(jnp.bfloat16)
-    masks = jax.image.resize(masks, (B, V, Q, H, W), method="bilinear")
-
+def _class_scores(mask_cls, label_mode, cls_threshold, temperature):
+    """Per-query scores/labels/keep from class logits (reference :39-51)."""
     if label_mode == "sigmoid":
         probs = jax.nn.sigmoid(mask_cls.astype(jnp.float32))
         scores = probs.max(-1)
@@ -53,6 +43,22 @@ def _fusion_scores(mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
         scores, labels = soft.max(-1), soft.argmax(-1)
         ncls = mask_cls.shape[-1] - 1
         keep = (labels != ncls) & (scores > cls_threshold)
+    return scores, labels, keep
+
+
+def _fusion_scores(mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
+                   temperature):
+    """Shared prep: upsampled sigmoid masks + per-query scores/labels.
+
+    Mask math runs in bf16 (sigmoid probabilities in [0,1] — well within
+    bf16 range; area sums accumulate in f32 downstream).
+    """
+    B, V, Q = mask_pred.shape[:3]
+    H, W = true_shape
+    masks = jax.nn.sigmoid(mask_pred.astype(jnp.float32)).astype(jnp.bfloat16)
+    masks = jax.image.resize(masks, (B, V, Q, H, W), method="bilinear")
+    scores, labels, keep = _class_scores(mask_cls, label_mode, cls_threshold,
+                                         temperature)
     return masks, scores, labels, keep
 
 
@@ -109,6 +115,68 @@ def _fusion_full(mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
         temperature)
     return _fusion_iters(masks, scores, keep, labels, mask_threshold,
                          overlap_threshold, niters, void_confidence)
+
+
+@functools.partial(jax.jit, static_argnames=("label_mode", "niters"))
+def _fusion_presigmoid(mask_cls, masks, label_mode, cls_threshold,
+                       temperature, mask_threshold, overlap_threshold,
+                       niters, void_confidence):
+    """Fusion over PRE-sigmoided, pre-padded masks (B, V, Q, H, W) —
+    the mixed-aspect-ratio path where per-view upsampling + zero padding
+    happened upstream."""
+    scores, labels, keep = _class_scores(mask_cls, label_mode, cls_threshold,
+                                         temperature)
+    return _fusion_iters(masks, scores, keep, labels, mask_threshold,
+                         overlap_threshold, niters, void_confidence)
+
+
+def panoptic_fusion_multi_ar(mask_cls, mask_pred_views: Sequence,
+                             true_shapes: Sequence[tuple[int, int]],
+                             label_mode: str = "sigmoid",
+                             cls_threshold: float = 0.1, temperature=None,
+                             mask_threshold: float = 0.25,
+                             overlap_threshold: float = 0.5, niters: int = 2,
+                             void_confidence: float = 0.1,
+                             with_conf: bool = True) -> list[dict]:
+    """Mixed-aspect-ratio scene fusion (reference postprocess.py:17-27,
+    124-126): per view, sigmoid → bilinear upsample to that view's true
+    shape → zero-pad to the max shape; fuse jointly (padding never exceeds
+    mask_threshold so padded pixels stay void and contribute no area);
+    crop each view's maps back to its true shape.
+
+    mask_cls: (Q, ncls) logits; mask_pred_views: per-view (Q, h_i, w_i)
+    logits; true_shapes: per-view (H_i, W_i).  Single scene (B=1).
+    """
+    from panst3r_tpu.ops.image import resize_bilinear_hw
+
+    Hm = max(h for h, _ in true_shapes)
+    Wm = max(w for _, w in true_shapes)
+    padded = []
+    for m, (h, w) in zip(mask_pred_views, true_shapes):
+        pm = jax.nn.sigmoid(jnp.asarray(m, jnp.float32)).astype(jnp.bfloat16)
+        pm = resize_bilinear_hw(pm, h, w)               # (Q, h, w)
+        pm = jnp.pad(pm, ((0, 0), (0, Hm - h), (0, Wm - w)))
+        padded.append(pm)
+    masks = jnp.stack(padded)[None]                     # (1, V, Q, Hm, Wm)
+
+    pan, conf, seg_ids, seg_cls, seg_valid = _fusion_presigmoid(
+        jnp.asarray(mask_cls)[None], masks, label_mode, cls_threshold,
+        temperature, mask_threshold, overlap_threshold, niters,
+        void_confidence)
+
+    pan_h = np.asarray(pan[0].astype(jnp.uint16)).astype(np.int32)
+    conf_h = np.asarray(conf[0].astype(jnp.float16)).astype(np.float32)
+    ids, cls, valid = (np.asarray(seg_ids[0]), np.asarray(seg_cls[0]),
+                       np.asarray(seg_valid[0]))
+    infos = [{"id": int(ids[q]), "query_id": int(q),
+              "category_id": int(cls[q])}
+             for q in range(ids.shape[0]) if valid[q]]
+    return [{
+        "pan": [pan_h[i, :h, :w] for i, (h, w) in enumerate(true_shapes)],
+        "segments_info": infos,
+        "conf": ([conf_h[i, :h, :w] for i, (h, w) in enumerate(true_shapes)]
+                 if with_conf else None),
+    }]
 
 
 def _fusion_iters(masks, scores, keep, labels, mask_threshold,

@@ -451,6 +451,81 @@ class InferenceEngine:
             out_device["pred_masks"][None].astype(jnp.float32),
             true_shape, **fusion_kw)
 
+    def fuse_device(self, out_device: dict, true_shape: tuple[int, int],
+                    label_mode: str = "sigmoid", niters: int = 2):
+        """Fusion keeping everything on device (throughput/pipelined mode):
+        returns (pan (1,V,H,W) int32, conf, seg_ids, labels, selected) as
+        device arrays — the caller overlaps host fetches with the next
+        scene's compute."""
+        from panst3r_tpu.engine.fusion import _fusion_full
+
+        return _fusion_full(
+            out_device["pred_logits"][None].astype(jnp.float32),
+            out_device["pred_masks"][None].astype(jnp.float32),
+            true_shape, label_mode, 0.1, None, 0.25, 0.5, niters, 0.1)
+
+    def pipeline_flops(self, V: int, num_keyframes: Optional[int] = None
+                       ) -> float:
+        """Analytic FLOPs of one run_device+fuse scene, from XLA's own cost
+        model on the lowered stage programs (BENCH MFU reporting)."""
+        from panst3r_tpu.engine.fusion import _fusion_full
+
+        c = self.model.config
+        K = min(num_keyframes or self.num_keyframes, V)
+        H, W = self.bucket.shape
+        N = self.n_tokens
+        dt = jnp.bfloat16 if self.amp else jnp.float32
+        S = jax.ShapeDtypeStruct
+        p = jax.tree_util.tree_map(
+            lambda a: S(jnp.shape(a), a.dtype), self.params)
+        mt = c.panoptic.mask_transformer
+        mem = memlib.init_memory(c.decoder.depth, 1, K * N, c.decoder.dim,
+                                 dtype=dt)
+        mem_s = jax.tree_util.tree_map(lambda a: S(a.shape, a.dtype), mem)
+
+        img = S((V, H, W, 3), jnp.uint8)
+        x = S((V, N, c.encoder.embed_dim), dt)
+        pos = S((V, N, 2), jnp.int32)
+        y = S((V, N, c.decoder.dim), dt)
+        dino = S((V, N, c.dino.embed_dim), dt)
+        cls_emb = S((32, mt.lang_dim), dt)
+
+        def sel(a, n):
+            return S((n,) + a.shape[1:], a.dtype)
+
+        def one(a, n):
+            return S((1, n) + a.shape[1:], a.dtype)
+
+        def fl(lowered):
+            cost = lowered.cost_analysis()
+            if cost is None:  # some backends only cost-analyze post-compile
+                cost = lowered.compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0))
+
+        total = fl(self._encode_batch.lower(p, img, n=V))
+        total += fl(self._dino_batch.lower(p, img, n=V))
+        total += fl(self._build_memory_jit.lower(
+            p, sel(x, K), mem_s, sel(pos, K),
+            schedule=tuple(c.mem_batches(K))))
+        total += fl(self._render_batch.lower(p, x, pos, mem_s, n=V))
+        total += fl(self._panoptic_joint.lower(
+            p, (one(x, K), one(y, K), one(dino, K)),
+            S((1, K, H, W, 3), jnp.uint8), one(pos, K),
+            S((1, K), jnp.bool_), cls_emb))
+        if V > K:
+            total += fl(self._panoptic_queries.lower(
+                p, (one(x, V - K), one(y, V - K), one(dino, V - K)),
+                S((1, V - K, H, W, 3), jnp.uint8), one(pos, V - K),
+                S((1, V - K), jnp.bool_), cls_emb,
+                S((1, mt.num_queries, mt.hidden_dim), dt)))
+        total += fl(_fusion_full.lower(
+            S((1, mt.num_queries, 32), jnp.float32),
+            S((1, V, mt.num_queries, H // 2, W // 2), jnp.float32),
+            (H, W), "sigmoid", 0.1, None, 0.25, 0.5, 2, 0.1))
+        return total
+
 
 class MultiBucketEngine:
     """Inference over scenes with mixed aspect-ratio buckets.
@@ -645,4 +720,18 @@ class MultiBucketEngine:
             "pred_masks": [pred_masks[i] for i in range(V)],
             "out_queries": np.asarray(panout["out_queries"][0]),
             "keyframes": keyframes,
+            "true_shapes": [tuple(b.shape) for b in buckets],
         }
+
+    def fuse(self, out: dict, true_shapes: Optional[Sequence] = None,
+             **fusion_kw) -> list[dict]:
+        """Joint fusion of a mixed-bucket scene: per-view upsample to each
+        view's true shape, zero-pad to the max shape, fuse jointly, crop
+        (the reference's nested-tensor multi-AR path,
+        postprocess.py:17-27,124-126)."""
+        from panst3r_tpu.engine.fusion import panoptic_fusion_multi_ar
+
+        shapes = true_shapes or out["true_shapes"]
+        return panoptic_fusion_multi_ar(out["pred_logits"],
+                                        out["pred_masks"], list(shapes),
+                                        **fusion_kw)

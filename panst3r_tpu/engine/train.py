@@ -200,10 +200,21 @@ def make_train_step(model, tx, loss_config: PanopticLossConfig,
 
 
 def shard_batch(batch: dict, mesh) -> dict:
-    """Place the batch with its leading axis sharded over ``data``."""
+    """Place the batch with its leading axis sharded over ``data``.
+
+    Single-process: a plain device_put with a NamedSharding.  Multi-process
+    (multi-host): each process holds only ITS slice of the global batch
+    (data/loader.py rank sharding), so the global array is assembled from
+    process-local shards — the jitted step then computes the GLOBAL loss
+    (no separate cross-rank loss all-reduce needed, unlike the reference's
+    DDP+all_reduce_mean, engine/train.py:138)."""
+    multiproc = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+        sharding = NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -320,6 +320,32 @@ def port_dino(ctx: Port, depth: int = 24,
     return out
 
 
+def port_siglip_text(ctx: Port, layers: int = 12,
+                     prefix: str = "text_model") -> dict:
+    """HF SiglipTextModel → models/siglip_text.SiglipTextTower.
+
+    HF naming: embeddings.{token_embedding,position_embedding},
+    encoder.layers.i.{layer_norm1,self_attn.q|k|v|out_proj,layer_norm2,
+    mlp.fc1|fc2}, final_layer_norm, head."""
+    out: dict = {}
+    _set(out, ("token_embedding",),
+         ctx.get(f"{prefix}.embeddings.token_embedding.weight"))
+    _set(out, ("position_embedding",),
+         ctx.get(f"{prefix}.embeddings.position_embedding.weight"))
+    for i in range(layers):
+        L = f"{prefix}.encoder.layers.{i}"
+        blk = (f"layer_{i}",)
+        _ln(ctx, out, blk + ("layer_norm1",), f"{L}.layer_norm1")
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(ctx, out, blk + (n,), f"{L}.self_attn.{n}")
+        _ln(ctx, out, blk + ("layer_norm2",), f"{L}.layer_norm2")
+        _linear(ctx, out, blk + ("fc1",), f"{L}.mlp.fc1")
+        _linear(ctx, out, blk + ("fc2",), f"{L}.mlp.fc2")
+    _ln(ctx, out, ("final_layer_norm",), f"{prefix}.final_layer_norm")
+    _linear(ctx, out, ("head",), f"{prefix}.head")
+    return out
+
+
 def port_input_mixer(ctx: Port, num_layers: int = 3, num_heads: int = 12,
                      prefix: str = "panoptic_decoder.input_mixer") -> dict:
     """InputMixer (source on disk: model/input_mixer.py:8-29)."""
