@@ -61,11 +61,66 @@ def evaluate_scene(engine: InferenceEngine, views: list[dict],
     return per_class
 
 
+def load_ported_npz(params, npz_path: str):
+    """Overlay tools/port_torch_checkpoint.py output ('a/b/c' flat keys)
+    onto an initialized param tree; reports what was applied/skipped."""
+    flat = dict(np.load(npz_path))
+    applied, skipped = 0, []
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    for key, val in flat.items():
+        node = params["params"] if "params" in params else params
+        parts = key.split("/")
+        try:
+            for p in parts[:-1]:
+                node = node[p]
+            assert node[parts[-1]].shape == val.shape, (
+                key, node[parts[-1]].shape, val.shape)
+            node[parts[-1]] = val
+            applied += 1
+        except (KeyError, AssertionError) as e:
+            skipped.append((key, str(e)[:80]))
+    print(f"ported weights: applied {applied}/{len(flat)}"
+          + (f"; skipped {len(skipped)} (first: {skipped[:3]})"
+             if skipped else ""))
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def build_cls_embeddings(classes, lang_dim, text: str) -> np.ndarray:
+    """'random' | 'siglip' | 'siglip2' | 'clip' | path to an .npz with
+    {classes, embeddings} (a TextEncoder.state() dump)."""
+    if text.endswith(".npz"):
+        data = np.load(text, allow_pickle=True)
+        table = {c: e for c, e in zip(list(data["classes"]),
+                                      data["embeddings"])}
+        emb = np.stack([table[c] for c in classes]).astype(np.float32)
+        return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+    if text != "random":
+        from panst3r_tpu.models.text_encoder import (TextEncoder,
+                                                     TextEncoderConfig)
+
+        te = TextEncoder(TextEncoderConfig(model_name=text,
+                                           fixed_vocab=False))
+        return te(classes).astype(np.float32)
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((len(classes), lang_dim)).astype(np.float32)
+    return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", required=True)
-    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="orbax checkpoint dir (training output)")
+    ap.add_argument("--ported-npz", default=None,
+                    help="ported_params.npz from tools/port_torch_checkpoint")
     ap.add_argument("--preset", default="v1", choices=["v1", "v2", "tiny"])
+    ap.add_argument("--benchmark", default="scannetpp",
+                    choices=["scannetpp", "hypersim", "replica", "scannet"],
+                    help="scannetpp = preprocessed training-format scenes; "
+                         "others = rendered-test-image protocol adapters")
+    ap.add_argument("--text", default="random",
+                    help="random | siglip | siglip2 | clip | table.npz")
     ap.add_argument("--num-scenes", type=int, default=50)
     ap.add_argument("--num-views", type=int, default=4)
     ap.add_argument("--num-keyframes", type=int, default=4)
@@ -75,17 +130,23 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     W, H = args.resolution
-    dataset = ScanNetppPanoptic(args.data_root, resolution=(W, H),
-                                num_views=args.num_views, aug_crop=0)
-    classes = sorted(set(dataset.classes))
+    if args.benchmark == "scannetpp":
+        dataset = ScanNetppPanoptic(args.data_root, resolution=(W, H),
+                                    num_views=args.num_views, aug_crop=0)
+        classes = sorted(set(dataset.classes))
+    else:
+        from panst3r_tpu.data.benchmarks import BenchmarkScenes
+
+        dataset = BenchmarkScenes(args.data_root, args.benchmark,
+                                  resolution=(W, H),
+                                  num_views=args.num_views)
+        classes = dataset.classes
 
     cfg = {"v1": panst3r_v1_config, "v2": panst3r_v2_config,
            "tiny": tiny_config}[args.preset]()
     model = PanSt3R(cfg)
     lang_dim = cfg.panoptic.mask_transformer.lang_dim
-    rng = np.random.default_rng(0)
-    cls_emb = rng.standard_normal((len(classes), lang_dim)).astype(np.float32)
-    cls_emb /= np.linalg.norm(cls_emb, axis=-1, keepdims=True)
+    cls_emb = build_cls_embeddings(classes, lang_dim, args.text)
 
     grid = (H // 16, W // 16)
     params = jax.jit(model.init, static_argnums=(4,))(
@@ -100,6 +161,8 @@ def main(argv=None):
         params = tree
         if "classes" in meta:
             classes = meta["classes"]
+    if args.ported_npz:
+        params = load_ported_npz(params, args.ported_npz)
 
     engine = InferenceEngine(model, params, Bucket(H, W),
                              num_keyframes=args.num_keyframes, amp=True)
@@ -114,6 +177,15 @@ def main(argv=None):
             print(f"[{i + 1}/{n}] {summarize(per_class)}")
 
     result = summarize(per_class)
+    if args.benchmark != "scannetpp":
+        from panst3r_tpu.data.benchmarks import REFERENCE_PQ
+
+        # tiny preset has no published number — anchor to v1
+        ref = REFERENCE_PQ.get((args.preset, args.benchmark),
+                               REFERENCE_PQ.get(("v1", args.benchmark)))
+        if ref is not None:
+            result["reference_pq"] = ref
+            result["vs_reference"] = round(result.get("PQ", 0.0) - ref, 2)
     print(json.dumps(result, indent=2))
     return result
 

@@ -28,16 +28,21 @@ def view_similarity(tokens: jnp.ndarray) -> jnp.ndarray:
     return desc @ desc.T
 
 
-def farthest_point_sampling(dist: np.ndarray, n: int,
-                            start: int = 0) -> list[int]:
+def farthest_point_sampling(dist: np.ndarray, n: int, start: int = 0,
+                            dist_thresh: float | None = None) -> list[int]:
     """Greedy FPS on a distance matrix (must3r farthest_point_sampling
-    equivalent; reference call panst3r.py:104)."""
+    surface incl. ``dist_thresh``; reference call panst3r.py:104 passes
+    None).  With a threshold, sampling stops once every remaining view is
+    within ``dist_thresh`` of a selected one — fewer keyframes on
+    redundant sequences."""
     N = dist.shape[0]
     n = min(n, N)
     selected = [start]
     min_d = dist[start].copy()
     for _ in range(n - 1):
         nxt = int(np.argmax(min_d))
+        if dist_thresh is not None and min_d[nxt] < dist_thresh:
+            break
         selected.append(nxt)
         min_d = np.minimum(min_d, dist[nxt])
     return selected

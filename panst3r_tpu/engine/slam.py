@@ -96,21 +96,53 @@ def se3_inv(T: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------- pose graph GN --
 
 
+def se3_adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """Ad(T) (..., 6, 6) in [rho, phi] tangent ordering:
+    [[R, hat(t)·R], [0, R]]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, hat(t) @ R], -1)
+    bot = jnp.concatenate([z, R], -1)
+    return jnp.concatenate([top, bot], -2)
+
+
+def se3_ad(xi: jnp.ndarray) -> jnp.ndarray:
+    """ad(xi) (..., 6, 6): [[hat(phi), hat(rho)], [0, hat(phi)]]."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    hp, hr = hat(phi), hat(rho)
+    z = jnp.zeros_like(hp)
+    top = jnp.concatenate([hp, hr], -1)
+    bot = jnp.concatenate([z, hp], -1)
+    return jnp.concatenate([top, bot], -2)
+
+
+def jl_inv(r: jnp.ndarray) -> jnp.ndarray:
+    """Inverse left Jacobian of SE(3), first-order: I − ½·ad(r) (exact to
+    O(|r|²); residuals shrink every GN iteration so higher orders don't
+    change the fixed point)."""
+    eye = jnp.broadcast_to(jnp.eye(6), (*r.shape[:-1], 6, 6))
+    return eye - 0.5 * se3_ad(r)
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def pose_graph_gauss_newton(poses: jnp.ndarray, edges: jnp.ndarray,
                             rel_meas: jnp.ndarray,
                             weights: Optional[jnp.ndarray] = None,
                             iters: int = 10, damping: float = 1e-6):
-    """On-manifold GN over SE(3) poses with relative-pose edges.
+    """On-manifold GN over SE(3) poses with relative-pose edges — true
+    6×6-block normal equations with per-edge adjoint Jacobians.
 
     poses: (V, 4, 4) initial cam2world; edges: (E, 2) int (i, j);
     rel_meas: (E, 4, 4) measured T_j⁻¹·T_i; weights: (E,).
     Pose 0 is the gauge anchor (held fixed).  Returns refined (V, 4, 4).
 
-    Residual per edge: log((T_j · rel_meas)⁻¹ · T_i) ∈ ℝ⁶, left-perturbation
-    Jacobians approximated by ±I (standard for small residuals) — the GN
-    normal equations then reduce to a graph Laplacian over 6-blocks, built
-    with scatter-adds (→ psum-ready when edges shard across devices).
+    Residual r_e = log(A·T_i), A = (T_j·Z)⁻¹, under LEFT perturbations
+    T ← exp(ξ)·T:  J_i = Jl⁻¹(r)·Ad(A), J_j = −J_i (from
+    A·exp(ε) = exp(Ad(A)ε)·A and BCH to first order).  Per-edge blocks
+    JᵀWJ scatter-add into the (V,6,V,6) Hessian — a sum-reduction that
+    becomes a `psum` when edges shard across devices (distributed BA,
+    SURVEY.md §5.8).
     """
     V = poses.shape[0]
     E = edges.shape[0]
@@ -118,32 +150,31 @@ def pose_graph_gauss_newton(poses: jnp.ndarray, edges: jnp.ndarray,
         weights = jnp.ones((E,))
 
     def body(poses, _):
-        Ti = poses[edges[:, 0]]
-        Tj = poses[edges[:, 1]]
-        pred = se3_inv(Tj @ rel_meas) @ Ti
-        r = se3_log(pred)                       # (E, 6)
+        i, j = edges[:, 0], edges[:, 1]
+        A = se3_inv(poses[j] @ rel_meas)        # (E, 4, 4)
+        r = se3_log(A @ poses[i])               # (E, 6)
 
-        # J_i = +I, J_j = −I (first-order, left perturbation).
-        w = weights[:, None]
-        # Gradient g and block-diagonal of H via scatter-add.
+        J = jl_inv(r) @ se3_adjoint(A)          # (E, 6, 6) — J_i; J_j = −J
+        Jt = jnp.swapaxes(J, -1, -2)
+        w = weights[:, None, None]
+        JtJ = (Jt @ J) * w                      # (E, 6, 6)
+        Jtr = (Jt @ r[..., None])[..., 0] * weights[:, None]   # (E, 6)
+
+        H = jnp.zeros((V, V, 6, 6))
+        H = H.at[i, i].add(JtJ).at[j, j].add(JtJ)
+        H = H.at[i, j].add(-JtJ).at[j, i].add(-JtJ)
         g = jnp.zeros((V, 6))
-        g = g.at[edges[:, 0]].add(w * r)
-        g = g.at[edges[:, 1]].add(-w * r)
-        # Full H: Laplacian with 6x6 identity blocks × weights.
-        Hd = jnp.zeros((V,))
-        Hd = Hd.at[edges[:, 0]].add(weights)
-        Hd = Hd.at[edges[:, 1]].add(weights)
-        Hoff = jnp.zeros((V, V))
-        Hoff = Hoff.at[edges[:, 0], edges[:, 1]].add(-weights)
-        Hoff = Hoff.at[edges[:, 1], edges[:, 0]].add(-weights)
-        L = Hoff + jnp.diag(Hd)                 # (V, V) scalar Laplacian
-        # Gauge fix: pin node 0.
-        L = L.at[0].set(0.0).at[:, 0].set(0.0).at[0, 0].set(1.0)
+        g = g.at[i].add(Jtr).at[j].add(-Jtr)
+
+        # Gauge fix: pin node 0 (identity block row/col).
+        H = H.at[0].set(0.0).at[:, 0].set(0.0)
+        H = H.at[0, 0].set(jnp.eye(6))
         g = g.at[0].set(0.0)
-        L = L + damping * jnp.eye(V)
-        delta = -jnp.linalg.solve(L, g)         # (V, 6) per-block solve
-        upd = se3_exp(delta)
-        return upd @ poses, jnp.sum(weights * jnp.sum(r * r, -1))
+
+        Hf = H.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
+        Hf = Hf + damping * jnp.eye(6 * V)
+        delta = -jnp.linalg.solve(Hf, g.reshape(-1)).reshape(V, 6)
+        return se3_exp(delta) @ poses, jnp.sum(weights * jnp.sum(r * r, -1))
 
     poses, costs = jax.lax.scan(body, poses, None, length=iters)
     return poses, costs
@@ -279,6 +310,8 @@ class IncrementalFrontend:
         novel = float(sims.max()) < self.sim_threshold
         make_kf = novel or self._since_kf >= self.max_interval
         if make_kf:
+            import panst3r_tpu.models.memory as memlib
+
             st = self.state
             if len(st.keyframe_ids) >= self.max_keyframes:
                 # Evict the oldest unprotected keyframe; reuse its slot
@@ -287,20 +320,14 @@ class IncrementalFrontend:
                 slot = st.slots.pop(victim)
                 st.keyframe_ids.pop(victim)
                 st.kf_descriptors.pop(victim)
-                import panst3r_tpu.models.memory as memlib
-
-                mem = memlib.evict(st.mem, slot * eng.n_tokens,
-                                   eng.n_tokens)
-                mem = mem._replace(
-                    count=jnp.asarray(slot * eng.n_tokens, jnp.int32))
+                mem = memlib.begin_overwrite(st.mem, slot * eng.n_tokens,
+                                             eng.n_tokens)
             else:
                 slot = len(st.keyframe_ids)
                 mem = st.mem
             mem, _ = eng._update(eng.params, x[None], mem, pos[None])
-            # Restore count to full occupancy (inserts are slot-addressed).
             occupied = max(len(st.slots) + 1, slot + 1)
-            st.mem = mem._replace(
-                count=jnp.asarray(occupied * eng.n_tokens, jnp.int32))
+            st.mem = memlib.end_overwrite(mem, occupied * eng.n_tokens)
             st.keyframe_ids.append(frame_id)
             st.kf_descriptors.append(desc)
             st.slots.append(slot)

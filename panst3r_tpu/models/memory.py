@@ -80,6 +80,23 @@ def insert_at(mem: TokenMemory, y_new: jnp.ndarray, pos_new: jnp.ndarray,
     return TokenMemory(y=y, pos=pos, valid=valid, count=count)
 
 
+def begin_overwrite(mem: TokenMemory, start, n: int) -> TokenMemory:
+    """Open a ring-reuse window: invalidate ``n`` slots from ``start`` and
+    move the write cursor there, so the next `insert` (e.g. inside a
+    decoder update) lands in the freed window.  Close with
+    `end_overwrite`.  This is the memory-module API for keyframe eviction
+    with bounded capacity (reference's pruning over mem_labels,
+    engine/must3r.py:76-80)."""
+    mem = evict(mem, start, n)
+    return mem._replace(count=jnp.asarray(start, jnp.int32))
+
+
+def end_overwrite(mem: TokenMemory, occupancy) -> TokenMemory:
+    """Close a ring-reuse window: restore the write cursor to the full
+    occupancy so future appends go to the end again."""
+    return mem._replace(count=jnp.asarray(occupancy, jnp.int32))
+
+
 def insert(mem: TokenMemory, y_new: jnp.ndarray, pos_new: jnp.ndarray,
            ) -> TokenMemory:
     """Append tokens for all layers at the current write offset.

@@ -107,3 +107,86 @@ def test_incremental_frontend(rng):
     assert outs[2]["pointmaps_raw"].shape == (H, W, 7)
     # capacity cap respected
     assert len(frontend.state.keyframe_ids) <= 4
+
+
+def test_pose_graph_ate_threshold(rng):
+    """ATE rigor (VERDICT #8): noisy per-view registration init → 6×6-block
+    pose-graph GN must bring ATE under a numeric threshold AND improve on
+    the init.  Synthetic render→recover: GT trajectory on a circle, world
+    pointmaps rendered from GT, per-view local maps perturbed."""
+    from panst3r_tpu.engine.eval import ate_rmse
+
+    V, H, W = 10, 12, 16
+    gt = []
+    for i in range(V):
+        a = 2 * np.pi * i / V
+        c, s = np.cos(a), np.sin(a)
+        T = np.eye(4)
+        T[:3, :3] = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        T[:3, 3] = [2 * c, 2 * s, 0.1 * i]
+        gt.append(T)
+    gt = np.stack(gt)
+
+    pts_local = rng.standard_normal((V, H, W, 3)).astype(np.float32)
+    pts_global = np.einsum("vab,vhwb->vhwa", gt[:, :3, :3], pts_local) \
+        + gt[:, None, None, :3, 3]
+    # measurement noise on the local maps → noisy Procrustes registrations
+    pts_local_noisy = pts_local + 0.03 * rng.standard_normal(
+        pts_local.shape).astype(np.float32)
+    pm = {"pts3d_local": pts_local_noisy,
+          "pts3d": pts_global.astype(np.float32),
+          "conf": np.full((V, H, W), 2.0, np.float32)}
+    refined, T0, costs = refine_scene_poses(pm, iters=10)
+
+    ate_init = ate_rmse(np.asarray(T0), gt)
+    ate_ref = ate_rmse(np.asarray(refined), gt)
+    assert float(costs[-1]) < float(costs[0])
+    assert ate_ref <= ate_init + 1e-9
+    assert ate_ref < 0.05, (ate_init, ate_ref)
+
+
+def test_block_gn_rotation_coupling(rng):
+    """The 6×6-block Jacobians must couple rotation and translation
+    (Ad(A) off-diagonal) — large rotational noise with exact relative
+    measurements converges to the GT, which the scalar-Laplacian
+    approximation could not do in few iterations."""
+    V = 6
+    gt = [np.eye(4)]
+    for i in range(1, V):
+        gt.append(gt[-1] @ _random_se3(rng, 0.4, 1.0))
+    gt = np.stack(gt)
+    edges = np.asarray([(i, i + 1) for i in range(V - 1)]
+                       + [(0, i) for i in range(2, V)], np.int32)
+    rel = np.stack([np.linalg.inv(gt[j]) @ gt[i] for i, j in edges])
+    noisy = np.stack([g @ _random_se3(rng, 0.15, 0.3) for g in gt])
+    noisy[0] = gt[0]
+
+    refined, costs = pose_graph_gauss_newton(
+        jnp.asarray(noisy), jnp.asarray(edges), jnp.asarray(rel), iters=12)
+    refined = np.asarray(refined)
+    np.testing.assert_allclose(refined, gt, atol=1e-3)
+
+
+def test_memory_ring_overwrite(rng):
+    """begin_overwrite/end_overwrite: freed slots are rewritten in place,
+    cursor restored, validity consistent."""
+    from panst3r_tpu.models import memory as memlib
+
+    mem = memlib.init_memory(2, 1, 6, 4)
+    y = jnp.asarray(rng.standard_normal((2, 1, 2, 4)), jnp.float32)
+    pos = jnp.ones((1, 2, 2), jnp.int32)
+    mem = memlib.insert(mem, y, pos)
+    mem = memlib.insert(mem, 2 * y, 2 * pos)
+    assert int(mem.count) == 4 and bool(mem.valid[0, :4].all())
+
+    # reuse slots [0:2]
+    mem = memlib.begin_overwrite(mem, 0, 2)
+    assert int(mem.count) == 0 and not bool(mem.valid[0, :2].any())
+    mem = memlib.insert(mem, 3 * y, 3 * pos)
+    mem = memlib.end_overwrite(mem, 4)
+    assert int(mem.count) == 4
+    assert bool(mem.valid[0, :4].all()) and not bool(mem.valid[0, 4:].any())
+    np.testing.assert_allclose(np.asarray(mem.y[:, :, :2]),
+                               np.asarray(3 * y))
+    np.testing.assert_allclose(np.asarray(mem.y[:, :, 2:4]),
+                               np.asarray(2 * y))
