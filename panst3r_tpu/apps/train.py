@@ -157,8 +157,9 @@ def main(argv=None):
     # One compiled step per bucket, routed by batch image shape — the
     # static-shape analog of the reference's per-sample multi-resolution
     # batches (batched_map / utils.py:90-196).
+    tmask = trainable_mask(params, tuple(trainable))
     step_fns = {hw: make_train_step(model, tx, exp.train.loss, g,
-                                    amp=exp.train.amp)
+                                    amp=exp.train.amp, train_mask=tmask)
                 for hw, g in grids.items()}
 
     start_epoch = 0

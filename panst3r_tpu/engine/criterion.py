@@ -56,6 +56,14 @@ class PanopticLossConfig:
     deep_supervision: bool = True
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
+    # Matcher cost sampling: "grid" integrates CE/dice over a bilinear
+    # downsample to ~num_points cells (pure MXU resizes — no gathers);
+    # "random" is the reference's shared uniform points
+    # (matcher.py:152-171).  Both estimate the same per-pixel integral;
+    # grid is the TPU default because XLA lowers the (V·Q, H·W)
+    # random-point gathers to scalar-speed code (~500 ms/step measured,
+    # see PERFORMANCE.md round 2).
+    matcher_sampling: str = "grid"
 
 
 def _batch_sigmoid_ce(inputs, targets):
@@ -86,6 +94,10 @@ def match(key, pred_logits, pred_masks, targets: Targets,
     B, Q = pred_logits.shape[:2]
     V = pred_masks.shape[1]
     P = c.num_points
+    H_t, W_t = targets.masks.shape[-2:]
+    # Grid-mode quadrature shape: ~num_points cells at the mask aspect.
+    gh_s = max(1, int(round((P * H_t / W_t) ** 0.5)))
+    gw_s = max(1, P // gh_s)
 
     def per_item(key, logits, masks_q, labels, masks_t, valid):
         # masks_q: (V, Q, h, w) → (Q, V, h, w); masks_t: (T, V, H, W)
@@ -94,15 +106,28 @@ def match(key, pred_logits, pred_masks, targets: Targets,
         safe_labels = jnp.maximum(labels, 0)
         cost_class = -prob[:, safe_labels]                     # (Q, T)
 
-        pts = jax.random.uniform(key, (V, P, 2))
         T = labels.shape[0]
 
-        def sample(m):  # (K, V, H, W) → (K, V*P)
-            K = m.shape[0]
-            flat = m.reshape(K * V, *m.shape[2:])
-            coords = jnp.tile(pts, (K, 1, 1))
-            return point_sample(flat.astype(jnp.float32),
-                                coords).reshape(K, V * P)
+        if c.matcher_sampling == "grid":
+            def sample(m):  # (K, V, Hm, Wm) → (K, V*gh_s*gw_s)
+                # antialias=False: point-evaluate at grid coords (the same
+                # bilinear interpolation the random path's point_sample
+                # does) — area-averaging would blur logits vs labels
+                # inconsistently and flatten the cost landscape.
+                K = m.shape[0]
+                r = jax.image.resize(m.astype(jnp.float32),
+                                     (K, V, gh_s, gw_s), method="bilinear",
+                                     antialias=False)
+                return r.reshape(K, V * gh_s * gw_s)
+        else:
+            pts = jax.random.uniform(key, (V, P, 2))
+
+            def sample(m):  # (K, V, H, W) → (K, V*P)
+                K = m.shape[0]
+                flat = m.reshape(K * V, *m.shape[2:])
+                coords = jnp.tile(pts, (K, 1, 1))
+                return point_sample(flat.astype(jnp.float32),
+                                    coords).reshape(K, V * P)
 
         out_pts = sample(masks_q)
         tgt_pts = sample(masks_t)
@@ -111,10 +136,13 @@ def match(key, pred_logits, pred_masks, targets: Targets,
                 + c.dice_weight * _batch_dice(out_pts, tgt_pts))
         # ε for the auction must be scaled by the *real* cost span — the
         # _BIG padding sentinel on invalid columns would inflate it ~1e5×
-        # and push real assignments off the scipy-exact optimum.
+        # and push real assignments off the scipy-exact optimum.  Invalid
+        # columns are excluded from bidding entirely (col_valid): their
+        # identical sentinel benefits would otherwise separate only by
+        # ε-steps, costing hundreds of while_loop iterations per level.
         real_span = jnp.max(jnp.where(valid[None], jnp.abs(cost), 0.0))
         cost = jnp.where(valid[None], cost, _BIG)
-        return auction_lap(cost, span=real_span)               # (T,)
+        return auction_lap(cost, span=real_span, col_valid=valid)  # (T,)
 
     keys = jax.random.split(key, B)
     return jax.vmap(per_item)(keys, pred_logits, pred_masks,

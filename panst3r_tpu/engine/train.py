@@ -166,18 +166,30 @@ def build_optimizer(config: TrainConfig, world_size: int,
 
 def make_train_step(model, tx, loss_config: PanopticLossConfig,
                     grid: tuple[int, int], donate: bool = True,
-                    amp: Optional[str] = None):
+                    amp: Optional[str] = None, train_mask: Any = None):
     """Build the jitted train step.
 
     batch: dict with images (B, V, H, W, 3), portrait (B, V),
     targets: Targets pytree, cls_embeddings (ncls, D).
     amp='bf16': matmuls run at bf16 MXU precision (the torch-autocast
     analog; the criterion math stays f32 — reference engine/train.py:40).
+    train_mask: optional pytree of bools (see ``trainable_mask``) — frozen
+    leaves enter the forward as constants, so no backward pass is built
+    through frozen submodules at all (the torch requires_grad=False
+    semantics, reference train.py:219-222).  Without it, autodiff
+    linearizes — and the chip executes — a full backward through ~750M
+    frozen encoder/decoder/DINO params whose gradients the masked
+    optimizer then throws away.
     """
     precision = "bfloat16" if amp == "bf16" else None
 
     def step_fn(state: TrainState, batch: dict, cls_embeddings, key):
-        def loss_fn(params):
+        def loss_fn(diff_params):
+            params = diff_params
+            if train_mask is not None:
+                params = jax.tree_util.tree_map(
+                    lambda m, t, f: t if m else f,
+                    train_mask, diff_params, state.params)
             ctx = (jax.default_matmul_precision(precision)
                    if precision else _nullcontext())
             with ctx:

@@ -20,7 +20,8 @@ TPU-native equivalent of /root/reference/src/panst3r/model/mask_transformer.py
   memory-query decoding of non-keyframes (:215-277, via panoptic_decoder).
 
 The multi-view joint cross-attention (KV length = V·gh·gw) is the hot op —
-it runs through the Pallas flash kernel with the per-head additive bias.
+it runs through the block-sparse Pallas masked-attention kernel, which
+skips fully-blocked KV tiles (see ops/pallas/masked_attention.py).
 """
 from __future__ import annotations
 
@@ -33,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from panst3r_tpu.core import config as cfg
-from panst3r_tpu.ops.attention import flash_attention
+from panst3r_tpu.ops.attention import flash_attention, masked_attention
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -82,7 +83,7 @@ class _MHA(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, q, k, v, bias=None):
+    def __call__(self, q, k, v, bias=None, blocked=None):
         C = q.shape[-1]
         H = self.num_heads
 
@@ -93,7 +94,12 @@ class _MHA(nn.Module):
         qp = nn.Dense(C, name="q_proj")(q)
         kp = nn.Dense(C, name="k_proj")(k)
         vp = nn.Dense(C, name="v_proj")(v)
-        out = flash_attention(heads(qp), heads(kp), heads(vp), bias=bias)
+        if blocked is not None:
+            # (B, Nq, Nk) bool, True = blocked, shared across heads →
+            # block-sparse kernel on TPU (see ops/attention.masked_attention).
+            out = masked_attention(heads(qp), heads(kp), heads(vp), blocked)
+        else:
+            out = flash_attention(heads(qp), heads(kp), heads(vp), bias=bias)
         B, _, N, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(C, name="out_proj")(out)
@@ -187,7 +193,8 @@ class MaskTransformer(nn.Module):
         Returns (outputs_class (B, Q, num_cls),
                  outputs_mask — same structure as mask_feats, per bucket
                  (B, V_b, Q, Hm_b, Wm_b), or None,
-                 attn_bias (B, heads, Q, Σ_b V_b·gh_b·gw_b) or None).
+                 attn_blocked (B, Q, Σ_b V_b·gh_b·gw_b) bool or None —
+                 True = may not attend, shared across heads).
 
         TPU optimization: the reference computes the full-resolution mask
         einsum every layer then bilinearly downsamples it for the attention
@@ -212,7 +219,7 @@ class MaskTransformer(nn.Module):
             if single:
                 outputs_mask = outputs_mask[0]
 
-        attn_bias = None
+        attn_blocked = None
         if attn_grids is not None:
             if not isinstance(attn_grids, list):
                 attn_grids = [attn_grids]
@@ -232,13 +239,13 @@ class MaskTransformer(nn.Module):
                     bl.transpose(0, 2, 1, 3, 4).reshape(B, Q,
                                                         Vb * ghb * gwb))
             blocked = jnp.concatenate(blocked_parts, axis=-1)
-            # Fully-blocked rows attend everywhere (:172).
+            # Fully-blocked rows attend everywhere (:172).  Kept boolean
+            # (B, Q, Nk), head-shared — the TPU kernel consumes it directly
+            # (no (B, H, Q, Nk) additive-bias broadcast in HBM); gradients
+            # cannot flow through the comparison, matching :271 .detach().
             all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
-            blocked = jnp.where(all_blocked, False, blocked)
-            attn_bias = jnp.where(blocked, _NEG_INF, 0.0)[:, None]
-            attn_bias = jax.lax.stop_gradient(jnp.broadcast_to(
-                attn_bias, (B, c.num_heads, Q, blocked.shape[-1])))
-        return outputs_class, outputs_mask, attn_bias
+            attn_blocked = jnp.where(all_blocked, False, blocked)
+        return outputs_class, outputs_mask, attn_blocked
 
     def decode_with_queries(self, memory_queries, mask_feats, cls_embeddings):
         """Non-keyframe fast path: prediction heads only against frozen
@@ -305,7 +312,7 @@ class MaskTransformer(nn.Module):
             query_embed = jnp.broadcast_to(self.query_pe[None],
                                            (B, c.num_queries, c.hidden_dim))
 
-        ocls, omask, attn_bias = self.prediction_heads(
+        ocls, omask, attn_blocked = self.prediction_heads(
             output, mask_feats, cls_embeddings, attn_grids,
             attn_feats=attn_feats_arg, need_mask=deep_supervision)
         if c.two_stage:
@@ -317,7 +324,7 @@ class MaskTransformer(nn.Module):
             # Masked cross-attention: queries ← multi-view tokens.
             attn_out = self.cross_attn_layers[i](
                 output + query_embed, src[lvl] + pos[lvl], src[lvl],
-                bias=attn_bias)
+                blocked=attn_blocked)
             output = self.cross_norms[i](output + attn_out)
             # Self-attention over queries.
             sa = self.self_attn_layers[i](
@@ -328,7 +335,7 @@ class MaskTransformer(nn.Module):
             output = self.ffn_norms[i](output + h)
 
             last = i == c.dec_layers - 1
-            ocls, omask, attn_bias = self.prediction_heads(
+            ocls, omask, attn_blocked = self.prediction_heads(
                 output, mask_feats, cls_embeddings,
                 None if last else attn_grids, attn_feats=attn_feats_arg,
                 need_mask=deep_supervision or last)

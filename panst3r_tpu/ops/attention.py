@@ -91,6 +91,31 @@ def flash_attention_rope2d(q, k, v, qpos=None, kpos=None, bias=None,
     return flash_attention(q, k, v, bias=bias, mask=mask, scale=scale)
 
 
+def masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     blocked: jnp.ndarray,
+                     scale: float | None = None) -> jnp.ndarray:
+    """Masked cross-attention with a per-query boolean block mask.
+
+    blocked: (B, Nq, Nk) bool, True = may NOT attend (torch attn_mask
+    convention, shared across heads — the mask transformer's masked
+    cross-attention, reference mask_transformer.py:270-272).
+
+    TPU: block-sparse Pallas kernel that *skips* fully-blocked KV tiles
+    (no FLOPs, no DMA) — in late decoder layers most tiles are dead, so
+    this is much cheaper than dense attention with an additive bias.
+    Elsewhere: dense reference attention.  Rows blocked everywhere return
+    0; callers apply the all-blocked→unblock fixup upstream.
+    """
+    if _use_pallas():
+        from panst3r_tpu.ops.pallas.masked_attention import pallas_masked_mha
+        try:
+            return pallas_masked_mha(q, k, v, blocked, scale=scale)
+        except NotImplementedError:
+            pass
+    return dot_product_attention(q, k, v, mask=~blocked[:, None],
+                                 scale=scale)
+
+
 def memory_mask_bias(valid: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Additive bias blocking invalid memory slots.
 

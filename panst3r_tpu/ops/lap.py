@@ -28,7 +28,8 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
-def auction_lap(cost: jnp.ndarray, max_iters: int = 5000, span=None):
+def auction_lap(cost: jnp.ndarray, max_iters: int = 5000, span=None,
+                col_valid=None):
     """Min-cost assignment of columns (bidders) to rows (objects).
 
     cost: (R, C) with R >= C.  Returns row_for_col: (C,) int32 — a distinct
@@ -38,6 +39,13 @@ def auction_lap(cost: jnp.ndarray, max_iters: int = 5000, span=None):
     increment ε.  Callers that pad invalid columns with a large sentinel
     MUST pass the span of the *real* costs — otherwise ε inflates by the
     sentinel magnitude and real assignments drift from optimal.
+
+    ``col_valid`` (C,) bool optionally marks padding columns (False) whose
+    assignment is arbitrary: they are excluded from the auction and placed
+    on free rows by the completion pass.  Without it, sentinel-padded
+    columns all share identical benefits and separate only by ε-sized
+    price increments — hundreds of extra while_loop iterations per solve
+    for an assignment nobody reads.
     """
     R, C = cost.shape
     assert R >= C, "auction_lap expects tall cost matrices (R >= C)"
@@ -46,14 +54,16 @@ def auction_lap(cost: jnp.ndarray, max_iters: int = 5000, span=None):
         span = jnp.max(jnp.abs(benefit))
     span = jnp.maximum(jnp.asarray(span, jnp.float32), 1e-6)
     eps = span * 2e-3 / (C + 1)
+    if col_valid is None:
+        col_valid = jnp.ones((C,), bool)
 
     def cond(state):
         _, assign, _, it = state
-        return (assign < 0).any() & (it < max_iters)
+        return ((assign < 0) & col_valid).any() & (it < max_iters)
 
     def body(state):
         prices, assign, owner, it = state
-        unassigned = assign < 0                   # (C,)
+        unassigned = (assign < 0) & col_valid     # (C,)
         values = benefit - prices[None]           # (C, R)
         top2, idx2 = jax.lax.top_k(values, 2)
         best_obj = idx2[:, 0]

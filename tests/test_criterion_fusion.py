@@ -194,3 +194,36 @@ def test_prepare_targets():
     assert t["labels"][1] == 2  # inst 9 → local cls 0 = 'chair' → global 2
     assert t["masks"][0].sum() == 6
     np.testing.assert_array_equal(t["output_mask"], [False, True, True])
+
+
+def test_match_grid_equals_random_on_coherent_masks(rng):
+    """Grid-quadrature matcher costs must produce the same assignment as
+    the reference's random-point sampling on spatially coherent (real-like)
+    masks — both estimate the same per-pixel CE/dice integral."""
+    import dataclasses
+
+    T_, Q_, V_, H_, W_ = 5, 12, 2, 32, 48
+    labels = rng.integers(0, NCLS, (1, T_)).astype(np.int32)
+    yy, xx = np.mgrid[0:H_, 0:W_]
+    masks = np.zeros((1, T_, V_, H_, W_), np.float32)
+    for t in range(T_):
+        cy, cx = rng.integers(4, H_ - 4), rng.integers(6, W_ - 6)
+        r = rng.integers(4, 10)
+        masks[0, t] = ((yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2)[None]
+    targets = Targets(labels=jnp.asarray(labels), masks=jnp.asarray(masks),
+                      valid=jnp.ones((1, T_), bool),
+                      output_mask=jnp.ones((1, NCLS), bool))
+    logits = np.full((1, Q_, NCLS), -6.0, np.float32)
+    pred = np.full((1, V_, Q_, H_, W_), -6.0, np.float32)
+    perm = rng.permutation(Q_)[:T_]
+    for t, q in enumerate(perm):
+        logits[0, q, labels[0, t]] = 6.0
+        pred[0, :, q] = np.where(masks[0, t] > 0, 6.0, -6.0)
+    cfg_g = PanopticLossConfig(num_points=512, matcher_sampling="grid")
+    cfg_r = PanopticLossConfig(num_points=512, matcher_sampling="random")
+    a_g = np.asarray(match(jax.random.PRNGKey(3), jnp.asarray(logits),
+                           jnp.asarray(pred), targets, cfg_g))
+    a_r = np.asarray(match(jax.random.PRNGKey(3), jnp.asarray(logits),
+                           jnp.asarray(pred), targets, cfg_r))
+    np.testing.assert_array_equal(a_g[0], perm)
+    np.testing.assert_array_equal(a_r[0], perm)

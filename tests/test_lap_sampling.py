@@ -81,3 +81,27 @@ def test_auction_padded_matches_scipy(rng):
         ours = cost[assign[:T_valid], np.arange(T_valid)].sum()
         # ε-optimality gap bounded by C·ε ≈ 0.2% of the REAL span.
         assert ours <= optimal + 0.01 * max(1.0, span), (ours, optimal)
+
+
+def test_auction_col_valid_fast_and_exact(rng):
+    """col_valid excludes padding columns from bidding: still scipy-exact
+    on the real columns, distinct rows everywhere, and convergence no
+    longer needs the ~700 ε-step rounds the identical sentinel benefits
+    would take (max_iters=16 suffices — regression guard for the train-step
+    time this cost)."""
+    BIG = 1e6
+    for trial in range(5):
+        Q, T, T_valid = 200, 16, 7
+        cost = rng.standard_normal((Q, T)).astype(np.float32) * 3
+        valid = np.arange(T) < T_valid
+        padded = np.where(valid[None], cost, BIG).astype(np.float32)
+        span = np.abs(cost[:, valid]).max()
+
+        assign = np.asarray(auction_lap(jnp.asarray(padded), max_iters=16,
+                                        span=span,
+                                        col_valid=jnp.asarray(valid)))
+        assert len(set(assign.tolist())) == T
+        rows, cols = exact_lap(cost[:, :T_valid])
+        optimal = cost[rows, cols].sum()
+        ours = cost[assign[:T_valid], np.arange(T_valid)].sum()
+        assert ours <= optimal + 0.01 * max(1.0, span), (ours, optimal)

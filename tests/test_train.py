@@ -142,3 +142,52 @@ def test_checkpoint_roundtrip(rng):
                                    np.asarray(tree["params"]["w"]))
         assert mcfg.depth == 3
         assert meta["epoch"] == 5
+
+
+def test_train_mask_freezes_and_matches(rng):
+    """train_mask (no-backward-through-frozen) must leave frozen params
+    bit-identical, produce the same loss as the maskless step, and still
+    train the panoptic decoder."""
+    from panst3r_tpu.engine.train import trainable_mask
+
+    model = tiny_model()
+    batch = make_batch(rng, 1)
+    cls_emb = jnp.asarray(rng.standard_normal((NCLS, 24)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), batch["images"],
+                        batch["portrait"], cls_emb, GRID)
+    tmask = trainable_mask(params, ("panoptic_decoder",))
+
+    tcfg = TrainConfig(lr=1e-3, accum_iter=1, epochs=2, warmup_epochs=0,
+                       loss=PanopticLossConfig(num_points=32))
+    tx, _ = build_optimizer(tcfg, 1, steps_per_epoch=4,
+                            trainable_mask=tmask)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, tcfg.loss, GRID, donate=False,
+                           train_mask=tmask)
+    ref_step = make_train_step(model, tx, tcfg.loss, GRID, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    _, ref_loss, _ = ref_step(state, batch, cls_emb, key)
+    new_state, loss, _ = step(state, batch, cls_emb, key)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+    flat_old = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(new_state.params))
+    flat_mask = dict(jax.tree_util.tree_leaves_with_path(tmask))
+    changed_trainable = 0
+    for path, old in flat_old:
+        new = flat_new[path]
+        if flat_mask[path]:
+            changed_trainable += int(not np.array_equal(np.asarray(old),
+                                                        np.asarray(new)))
+        else:
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new),
+                                          err_msg=str(path))
+    assert changed_trainable > 0
+
+    losses = [float(loss)]
+    st = new_state
+    for i in range(1, 3):
+        st, l, _ = step(st, batch, cls_emb, jax.random.PRNGKey(i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0]

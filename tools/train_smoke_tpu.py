@@ -41,7 +41,8 @@ tcfg = TrainConfig(lr=2e-4, accum_iter=1, warmup_epochs=0, epochs=10,
 tx, _ = build_optimizer(tcfg, 1, steps_per_epoch=10,
                         trainable_mask=trainable_mask(params))
 state = TrainState.create(params, tx)
-step = make_train_step(model, tx, tcfg.loss, GRID, donate=False)
+step = make_train_step(model, tx, tcfg.loss, GRID, donate=False,
+                       train_mask=trainable_mask(params))
 
 losses = []
 t0 = time.time()

@@ -63,7 +63,8 @@ def main():
     tx, _ = build_optimizer(tcfg, 1, steps_per_epoch=100,
                             trainable_mask=trainable_mask(params))
     state = TrainState.create(params, tx)
-    step = make_train_step(model, tx, tcfg.loss, GRID, donate=False)
+    step = make_train_step(model, tx, tcfg.loss, GRID, donate=False,
+                           train_mask=trainable_mask(params))
 
     t0 = time.perf_counter()
     state, loss, details = step(state, batch, cls_emb, jax.random.PRNGKey(0))
