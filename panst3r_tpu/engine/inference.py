@@ -67,6 +67,9 @@ class InferenceEngine:
     num_keyframes: int = 16
     chunk: int = 4              # micro-batch for encoder/render (max_bs)
     amp: bool = True            # bf16 compute (reference amp flag)
+    # Optional trained retrieval head (ported must3r RetrievalModel +
+    # ASMK codebook — engine/retrieval.RetrievalHead); None → pooled-cosine.
+    retrieval_head: object = None
 
     def __post_init__(self):
         c = self.model.config
@@ -370,7 +373,7 @@ class InferenceEngine:
 
         if use_retrieval and V > K:
             keyframes = select_keyframes_retrieval(
-                x.astype(jnp.float32), K)
+                x.astype(jnp.float32), K, head=self.retrieval_head)
         else:
             keyframes = select_keyframes_linspace(V, K)
         not_keyframes = sorted(set(range(V)) - set(keyframes))

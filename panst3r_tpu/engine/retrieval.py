@@ -1,16 +1,28 @@
-"""Keyframe retrieval: pairwise view similarity + FPS + greedy ordering.
+"""Keyframe retrieval: view similarity + FPS + greedy ordering.
 
-The reference uses an ASMK inverted-file index (Cython + FAISS GPU) over
-whitened MUSt3R encoder features (/root/reference/src/panst3r/engine/
-retrieval.py:12-47) purely to produce an N×N similarity matrix for a few
-hundred views, then farthest-point-samples keyframes and orders them by
-greedy max-overlap (panst3r.py:88-125).  At these scales an IVF index is
-overkill on TPU: similarity is one (N, D)·(D, N) matmul of pooled,
-L2-normalized encoder tokens — MXU-friendly, no index to build.
+The reference builds its N×N view-similarity matrix with a trained
+retrieval head + ASMK (/root/reference/src/panst3r/engine/
+retrieval.py:12-48, panst3r.py:88-125): must3r `RetrievalModel` (frozen
+encoder backbone → prewhiten → projector MLP → postwhiten, per-token
+`featweights`) feeding an ASMK inverted-file index (Cython + FAISS).
+Two TPU-native paths here:
+
+- ``view_similarity`` — untrained pooled-cosine proxy (no checkpoint
+  needed; the default).
+- ``RetrievalHead`` + ``asmk_similarity`` — the trained path: the
+  whitening/projector stack and the top-1 codebook assignment are dense
+  MXU matmuls; the per-word binarized-residual aggregation and sparse
+  word-intersection scoring run on host (numpy), exactly where the
+  reference runs its ASMK CPU kernels.  ``port_retrieval_checkpoint``
+  (tools/port_torch_checkpoint.py) maps the released retrieval ``.pth``
+  (ckpt['model'] + ckpt['asmk_codebook']) into ``RetrievalHead.params``.
 
 The FPS + greedy ordering logic reproduces the reference exactly.
 """
 from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,34 +50,148 @@ def farthest_point_sampling(dist: np.ndarray, n: int, start: int = 0,
     N = dist.shape[0]
     n = min(n, N)
     selected = [start]
-    min_d = dist[start].copy()
+    min_d = dist[start].astype(np.float64).copy()
+    # Selected views are excluded outright (-1): when every view is
+    # equidistant (degenerate similarity), argmax over the all-zero min_d
+    # would re-pick index 0 and return duplicate keyframes.
+    min_d[start] = -1.0
     for _ in range(n - 1):
         nxt = int(np.argmax(min_d))
         if dist_thresh is not None and min_d[nxt] < dist_thresh:
             break
         selected.append(nxt)
         min_d = np.minimum(min_d, dist[nxt])
+        min_d[nxt] = -1.0
     return selected
 
 
-def select_keyframes_retrieval(tokens, num_keyframes: int) -> list[int]:
+def select_keyframes_retrieval(tokens, num_keyframes: int,
+                               head: Optional["RetrievalHead"] = None
+                               ) -> list[int]:
     """Keyframe selection by retrieval (reference panst3r.py:88-125):
     FPS over (1 − sim) for coverage, then greedy max-overlap ordering so the
-    memory is built connected-first."""
-    sim = np.asarray(view_similarity(tokens))
+    memory is built connected-first.  With a ported ``RetrievalHead``
+    (+codebook), similarity comes from the trained ASMK path; otherwise
+    from the pooled-cosine proxy."""
+    if head is not None and head.codebook is not None:
+        sim = asmk_similarity(head, tokens)
+    else:
+        sim = np.asarray(view_similarity(tokens))
     anchor_idx = farthest_point_sampling(1.0 - sim, num_keyframes)
-    sub = sim[np.ix_(anchor_idx, anchor_idx)].copy()
+    sub = sim[np.ix_(anchor_idx, anchor_idx)].astype(np.float64)
     np.fill_diagonal(sub, 0.0)
 
     sim_sum = sub.sum(-1)
     order = [int(np.argmax(sim_sum))]     # highest total overlap first (:111)
-    sub[:, order[0]] = 0.0
+    # Selected columns are masked with -inf, not 0: when similarities are
+    # non-positive (degenerate descriptors) a zeroed column would win the
+    # argmax again and the order would contain duplicates.
+    sub[:, order[0]] = -np.inf
     while len(order) < len(anchor_idx):
         rows = sub[np.asarray(order)]
         nxt = int(np.unravel_index(np.argmax(rows), rows.shape)[1])  # :117-119
         order.append(nxt)
-        sub[:, nxt] = 0.0
+        sub[:, nxt] = -np.inf
     return [anchor_idx[k] for k in order]
+
+
+@dataclasses.dataclass
+class RetrievalHead:
+    """Trained retrieval projection (must3r RetrievalModel minus backbone).
+
+    Stages (each optional, matching the reference checkpoint's ``args``):
+    prewhiten (affine whitener, stored as flax-layout (kernel, bias):
+    x ← x @ W + b — exactly a ported torch Linear), projector MLP over
+    ``hdims`` with GELU between layers (optionally residual), postwhiten,
+    then L2 normalization; per-token weights are the pre-projection L2
+    norms (``featweights='l2norm'``).
+    """
+
+    prewhiten: Optional[tuple] = None        # (W (D, Dw), b (Dw,))
+    projector: Sequence[tuple] = ()          # [(W (Di, Do), b (Do,)), ...]
+    residual: bool = False
+    postwhiten: Optional[tuple] = None
+    codebook: Optional[np.ndarray] = None    # (K, D) ASMK centroids
+    alpha: float = 3.0                       # ASMK selective-match exponent
+    similarity_threshold: float = 0.0
+
+    def project(self, tokens: jnp.ndarray):
+        """tokens (..., N, D) → (projected (..., N, D'), weights (..., N))."""
+        x = tokens.astype(jnp.float32)
+        w = jnp.linalg.norm(x, axis=-1)                    # featweights
+        if self.prewhiten is not None:
+            W, b = self.prewhiten
+            x = x @ jnp.asarray(W) + jnp.asarray(b)
+        if self.projector:
+            h = x
+            for i, (W, b) in enumerate(self.projector):
+                h = h @ jnp.asarray(W) + jnp.asarray(b)
+                if i + 1 < len(self.projector):
+                    h = jax.nn.gelu(h, approximate=False)
+            x = x + h if (self.residual and h.shape == x.shape) else h
+        if self.postwhiten is not None:
+            W, b = self.postwhiten
+            x = x @ jnp.asarray(W) + jnp.asarray(b)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        return x, w
+
+    def assign_and_binarize(self, tokens: jnp.ndarray):
+        """Top-1 codebook assignment + binarized residuals (ASMK★).
+
+        tokens (V, N, D) → (words (V, N) int32, bits (V, N, D) ±1 int8,
+        weights (V, N)).  The (V·N, K) assignment is one MXU matmul.
+        """
+        assert self.codebook is not None, "no ASMK codebook loaded"
+        x, w = self.project(tokens)
+        C = jnp.asarray(self.codebook, jnp.float32)        # (K, D)
+        Cn = C / jnp.maximum(jnp.linalg.norm(C, axis=-1, keepdims=True),
+                             1e-8)
+        # nearest centroid in L2 == max (x·c − ||c||²/2); x is unit-norm.
+        score = x @ C.T - 0.5 * jnp.sum(C * C, axis=-1)
+        words = jnp.argmax(score, axis=-1).astype(jnp.int32)
+        resid = x - Cn[words]
+        bits = jnp.where(resid >= 0, 1, -1).astype(jnp.int8)
+        return words, bits, w
+
+
+def asmk_similarity(head: RetrievalHead, tokens: jnp.ndarray) -> np.ndarray:
+    """(V, N, D) encoder tokens → (V, V) ASMK★ similarity matrix.
+
+    Device: projection + assignment + binarization (matmuls).  Host: per
+    (view, word) aggregation (sum of bits → sign) and the sparse
+    word-intersection scoring σ_α(u) = sign(u)·|u|^α over normalized
+    binary dot products — the part the reference also runs on CPU.
+    """
+    words, bits, _ = head.assign_and_binarize(tokens)
+    words = np.asarray(words)
+    bits = np.asarray(bits, np.float32)
+    V, N, D = bits.shape
+
+    agg_words, agg_bits, norms = [], [], []
+    for v in range(V):
+        order = np.argsort(words[v], kind="stable")
+        w_sorted = words[v][order]
+        uniq, starts = np.unique(w_sorted, return_index=True)
+        sums = np.add.reduceat(bits[v][order], starts, axis=0)
+        b = np.where(sums >= 0, 1.0, -1.0)                 # re-binarize
+        agg_words.append(uniq)
+        agg_bits.append(b)
+        norms.append(np.sqrt(len(uniq)))
+    sim = np.zeros((V, V), np.float32)
+    for a in range(V):
+        wa, ba = agg_words[a], agg_bits[a]
+        for b_i in range(a, V):
+            common, ia, ib = np.intersect1d(wa, agg_words[b_i],
+                                            assume_unique=True,
+                                            return_indices=True)
+            if len(common) == 0:
+                continue
+            u = (ba[ia] * agg_bits[b_i][ib]).sum(-1) / D
+            u = np.where(np.abs(u) >= head.similarity_threshold, u, 0.0)
+            s = float((np.sign(u) * np.abs(u) ** head.alpha).sum()
+                      / (norms[a] * norms[b_i]))
+            sim[a, b_i] = sim[b_i, a] = s
+    return sim
 
 
 def select_keyframes_linspace(n_views: int, num_keyframes) -> list[int]:

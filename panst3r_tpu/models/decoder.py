@@ -54,6 +54,54 @@ class MemoryDecoderConfig:
     head_channels: int = 7        # 3 global + 3 local + 1 conf
 
 
+class _DecoderLayer(nn.Module):
+    """scan body: one memory-decoder layer.
+
+    Carry: x (B, V, N, dim).  Scanned input: this layer's memory bank
+    (B, M, dim) — ``mem.y`` is already stacked (depth, B, M, dim), the
+    natural scan layout.  Scanned output: the layer's norm_y tokens (the
+    memory write for update mode).  Params stack at ``layers/*``.
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    rope_base: float
+    render: bool
+    kv_shard: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, x, mem_y_l, pos_bv, flat_pos, mem_pos, mem_bias,
+                 upd_bias, kv_pos):
+        B, V, N, _ = x.shape
+        y_cur = nn.LayerNorm(name="norm_y")(x)       # memory_mode=norm_y
+        if not self.render:
+            kv = jnp.concatenate(
+                [mem_y_l.astype(x.dtype), y_cur.reshape(B, V * N, -1)],
+                axis=1)
+            bias, kpos = upd_bias, kv_pos
+        else:
+            kv = mem_y_l.astype(x.dtype)
+            if self.kv_shard is not None:
+                kv = jax.lax.with_sharding_constraint(kv, self.kv_shard)
+            bias, kpos = mem_bias, mem_pos
+
+        # Self-attention within each view.
+        xv = x.reshape(B * V, N, -1)
+        xv = xv + SelfAttention(self.num_heads, rope_base=self.rope_base,
+                                name="self_attn")(
+            nn.LayerNorm(name="norm1")(xv), pos_bv)
+        x = xv.reshape(B, V * N, -1)
+        # Cross-attention into the token memory (joint over views).
+        x = x + CrossAttention(self.num_heads, rope_base=self.rope_base,
+                               name="cross_attn")(
+            nn.LayerNorm(name="norm2")(x), kv, kv,
+            qpos=flat_pos, kpos=kpos, bias=bias)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
+            nn.LayerNorm(name="norm3")(x))
+        return x.reshape(B, V, N, -1), y_cur
+
+
 class MemoryDecoder(nn.Module):
     config: MemoryDecoderConfig = MemoryDecoderConfig()
     # Optional NamedSharding for the per-layer KV bank (B, capacity, C):
@@ -96,43 +144,22 @@ class MemoryDecoder(nn.Module):
         upd_bias = jnp.concatenate([mem_bias, zeros_cur], axis=-1)
         kv_pos = jnp.concatenate([mem.pos, flat_pos], axis=1)
 
-        new_y = []
-        x = tokens
-        for l in range(c.depth):
-            y_cur = nn.LayerNorm(name=f"norm_y_{l}")(x)  # memory_mode=norm_y
-            if not render:
-                new_y.append(y_cur)
-                kv = jnp.concatenate(
-                    [mem.y[l].astype(x.dtype), y_cur.reshape(B, V * N, -1)],
-                    axis=1)
-                bias, kpos = upd_bias, kv_pos
-            else:
-                kv = mem.y[l].astype(x.dtype)
-                if self.kv_shard is not None:
-                    kv = jax.lax.with_sharding_constraint(kv, self.kv_shard)
-                bias, kpos = mem_bias, mem.pos
-
-            # Self-attention within each view.
-            xv = x.reshape(B * V, N, -1)
-            xv = xv + SelfAttention(c.num_heads, rope_base=c.rope_base,
-                                    name=f"self_attn_{l}")(
-                nn.LayerNorm(name=f"norm1_{l}")(xv),
-                pos.reshape(B * V, N, 2))
-            x = xv.reshape(B, V * N, -1)
-            # Cross-attention into the token memory (joint over views).
-            x = x + CrossAttention(c.num_heads, rope_base=c.rope_base,
-                                   name=f"cross_attn_{l}")(
-                nn.LayerNorm(name=f"norm2_{l}")(x), kv, kv,
-                qpos=flat_pos, kpos=kpos, bias=bias)
-            x = x + Mlp(int(c.dim * c.mlp_ratio), name=f"mlp_{l}")(
-                nn.LayerNorm(name=f"norm3_{l}")(x))
-            x = x.reshape(B, V, N, -1)
+        # 12 identical layers under nn.scan: carry x, scan over the
+        # per-layer memory banks (mem.y is (depth, B, M, dim)), collect
+        # each layer's norm_y tokens as the stacked memory write.
+        layers = nn.scan(
+            _DecoderLayer, variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0,) + (nn.broadcast,) * 6,
+            length=c.depth)(c.dim, c.num_heads, c.mlp_ratio, c.rope_base,
+                            render, self.kv_shard, name="layers")
+        x, new_y = layers(tokens, mem.y, pos.reshape(B * V, N, 2),
+                          flat_pos, mem.pos, mem_bias, upd_bias, kv_pos)
 
         feats = nn.LayerNorm(name="norm")(x)             # (B, V, N, dim)
 
         if not render:
-            y_stack = jnp.stack(new_y, axis=0).reshape(
-                c.depth, B, V * N, c.dim)
+            y_stack = new_y.reshape(c.depth, B, V * N, c.dim)
             mem = memlib.insert(mem, y_stack, flat_pos)
 
         # Pointmap head: per-patch linear → unpatchify.

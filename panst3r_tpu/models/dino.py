@@ -63,6 +63,20 @@ class _DinoBlock(nn.Module):
         return x
 
 
+class _DinoStack(nn.Module):
+    """scan body: one DINOv2 block; params stack along the layer axis."""
+
+    num_heads: int
+    mlp_ratio: float
+    layerscale_init: float
+
+    @nn.compact
+    def __call__(self, x):
+        x = _DinoBlock(self.num_heads, self.mlp_ratio, self.layerscale_init,
+                       name="block")(x)
+        return x, None
+
+
 class DinoEncoder(nn.Module):
     """Frozen ViT semantic encoder; returns patch tokens (B, N, C)."""
 
@@ -100,8 +114,12 @@ class DinoEncoder(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls_tok, (B, 1, c.embed_dim)), x],
                             axis=1)
 
-        for i in range(c.depth):
-            x = _DinoBlock(c.num_heads, c.mlp_ratio, c.layerscale_init,
-                           name=f"block_{i}")(x)
+        # 24 identical blocks under nn.scan (params stacked at
+        # ``blocks/block`` — compile-time: one block body, not 24 copies).
+        stack = nn.scan(_DinoStack, variable_axes={"params": 0},
+                        split_rngs={"params": True},
+                        length=c.depth)(c.num_heads, c.mlp_ratio,
+                                        c.layerscale_init, name="blocks")
+        x, _ = stack(x)
         x = nn.LayerNorm(name="norm")(x)
         return x[:, 1:]  # drop cls token (reference dino.py:69)

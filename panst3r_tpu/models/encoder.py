@@ -32,6 +32,20 @@ class ViTEncoderConfig:
     rope_base: float = 100.0
 
 
+class _BlockStack(nn.Module):
+    """scan body: one croco Block; params stack along the layer axis."""
+
+    num_heads: int
+    mlp_ratio: float
+    rope_base: float
+
+    @nn.compact
+    def __call__(self, x, pos):
+        x = Block(self.num_heads, self.mlp_ratio, rope_base=self.rope_base,
+                  name="block")(x, pos)
+        return x, None
+
+
 class ViTEncoder(nn.Module):
     config: ViTEncoderConfig = ViTEncoderConfig()
 
@@ -40,6 +54,11 @@ class ViTEncoder(nn.Module):
         """images: (B, H, W, 3) in dust3r normalization ([-1, 1]).
 
         Returns (tokens (B, N, C), pos (B, N, 2) int32).
+
+        The 24 identical blocks run under ``nn.scan`` (params stacked on a
+        leading layer axis at ``blocks/block``): one compiled block body
+        instead of 24 inlined copies — the dominant train-step compile cost
+        measured in round 2 (see PERFORMANCE.md).
         """
         c = self.config
         B, H, W, _ = images.shape
@@ -50,8 +69,10 @@ class ViTEncoder(nn.Module):
         x = x.reshape(B, gh * gw, c.embed_dim)
         pos = jnp.broadcast_to(patch_grid_positions(gh, gw)[None],
                                (B, gh * gw, 2))
-        for i in range(c.depth):
-            x = Block(c.num_heads, c.mlp_ratio, rope_base=c.rope_base,
-                      name=f"block_{i}")(x, pos)
+        stack = nn.scan(_BlockStack, variable_axes={"params": 0},
+                        split_rngs={"params": True}, in_axes=nn.broadcast,
+                        length=c.depth)(c.num_heads, c.mlp_ratio,
+                                        c.rope_base, name="blocks")
+        x, _ = stack(x, pos)
         x = nn.LayerNorm(name="norm")(x)
         return x, pos

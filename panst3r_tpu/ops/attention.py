@@ -106,7 +106,8 @@ def masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Elsewhere: dense reference attention.  Rows blocked everywhere return
     0; callers apply the all-blocked→unblock fixup upstream.
     """
-    if _use_pallas():
+    if (_use_pallas()
+            and os.environ.get("PANST3R_DISABLE_SPARSE_MASK", "0") != "1"):
         from panst3r_tpu.ops.pallas.masked_attention import pallas_masked_mha
         try:
             return pallas_masked_mha(q, k, v, blocked, scale=scale)

@@ -200,6 +200,23 @@ def _cross_attn(ctx, tree, path, prefix, num_heads=None, rope=False):
             _set(tree, path + (name, "bias"), b)
 
 
+def _stack_group(out: dict, fmt: str, depth: int, target_path: tuple):
+    """Per-layer subtrees ``{fmt.format(i): subtree}`` → one stacked
+    subtree at ``target_path`` — the ``nn.scan`` param layout (leaves
+    gain a leading layer axis), matching models/{encoder,dino,decoder}."""
+    subs = [out.pop(fmt.format(i)) for i in range(depth)]
+
+    def stack(ts):
+        if isinstance(ts[0], dict):
+            return {k: stack([t[k] for t in ts]) for k in ts[0]}
+        return np.stack([np.asarray(t) for t in ts], axis=0)
+
+    node = out
+    for p in target_path[:-1]:
+        node = node.setdefault(p, {})
+    node[target_path[-1]] = stack(subs)
+
+
 def _croco_block(ctx, tree, path, prefix, num_heads, rope=True):
     """croco `Block`: norm1/attn(qkv,proj)/norm2/mlp(fc1,fc2)."""
     _ln(ctx, tree, path + ("norm1",), f"{prefix}.norm1")
@@ -229,6 +246,7 @@ def port_encoder(ctx: Port, depth: int = 24, num_heads: int = 16,
     for i in range(depth):
         _croco_block(ctx, out, (f"block_{i}",), f"{prefix}.{blocks}.{i}",
                      num_heads, rope=True)
+    _stack_group(out, "block_{}", depth, ("blocks", "block"))
     normp = ctx.first(f"{prefix}.enc_norm.weight", f"{prefix}.norm.weight")
     _ln(ctx, out, ("norm",), normp[:-len(".weight")])
     return out
@@ -266,6 +284,9 @@ def port_memory_decoder(ctx: Port, depth: int = 12, num_heads: int = 12,
         _ln(ctx, out, (f"norm3_{i}",), f"{b}.norm3")
         _mlp(ctx, out, (f"mlp_{i}",), f"{b}.mlp")
         _ln(ctx, out, (f"norm_y_{i}",), f"{b}.norm_y")
+    for name in ("norm1", "self_attn", "norm2", "cross_attn", "norm3",
+                 "mlp", "norm_y"):
+        _stack_group(out, name + "_{}", depth, ("layers", name))
 
     normp = ctx.first(f"{prefix}.dec_norm.weight", f"{prefix}.norm.weight")
     _ln(ctx, out, ("norm",), normp[:-len(".weight")])
@@ -315,6 +336,7 @@ def port_dino(ctx: Port, depth: int = 24,
         _ln(ctx, out, blk + ("norm2",), f"{L}.norm2")
         _mlp(ctx, out, blk + ("mlp",), f"{L}.mlp")
         _set(out, blk + ("ls2",), ctx.get(f"{L}.layer_scale2.lambda1"))
+    _stack_group(out, "block_{}", depth, ("blocks", "block"))
 
     _ln(ctx, out, ("norm",), f"{prefix}.layernorm")
     return out
@@ -525,6 +547,60 @@ def port_checkpoint(sd: dict, dec_layers: int | None = None,
     report = {"ported_keys": len(ctx.used), "total_keys": len(ctx.sd),
               "ignored": sorted(ctx.ignored), "unmapped": ctx.unmapped()}
     return ported, report
+
+
+def port_retrieval_checkpoint(ckpt: dict) -> dict:
+    """Port a must3r/panst3r retrieval checkpoint (PanSt3RRetriever input,
+    reference engine/retrieval.py:14-48) into ``RetrievalHead`` kwargs.
+
+    Layout: ckpt['args'] (prewhiten/hdims/residual/postwhiten flags),
+    ckpt['model'] (RetrievalModel state_dict minus backbone),
+    ckpt['asmk_codebook'] (Codebook state: centroids), ckpt['asmk_params']
+    (scoring params: similarity alpha / threshold).  Returns a dict of
+    numpy arrays + scalars consumable by
+    ``panst3r_tpu.engine.retrieval.RetrievalHead(**out)``.
+    """
+    args = ckpt.get("args")
+    sd = {k: np.asarray(v) for k, v in ckpt["model"].items()
+          if not k.startswith("backbone")}
+    out: dict = {}
+
+    def affine(prefix):
+        wk = f"{prefix}.weight"
+        if wk not in sd:
+            return None
+        W = t(sd.pop(wk))
+        b = sd.pop(f"{prefix}.bias", np.zeros(W.shape[1], np.float32))
+        return (W, np.asarray(b))
+
+    pw = affine("prewhiten")
+    if pw is not None:
+        out["prewhiten"] = pw
+    # projector: nn.Sequential Linears at projector.{i} (activations hold
+    # no params, so indices may be sparse: 0, 2, 4, ...)
+    proj_idx = sorted({int(re.match(r"projector\.(\d+)\.", k).group(1))
+                       for k in sd if k.startswith("projector.")})
+    out["projector"] = tuple(
+        (t(sd.pop(f"projector.{i}.weight")),
+         sd.pop(f"projector.{i}.bias")) for i in proj_idx)
+    pow_ = affine("postwhiten")
+    if pow_ is not None:
+        out["postwhiten"] = pow_
+    if args is not None:
+        out["residual"] = bool(getattr(args, "residual", False))
+    if sd:
+        raise ValueError(f"unmapped retrieval model keys: {sorted(sd)}")
+
+    cb = ckpt.get("asmk_codebook")
+    if cb is not None:
+        cent = cb.get("centroids") if isinstance(cb, dict) else cb
+        out["codebook"] = np.asarray(cent, np.float32)
+    ap_ = ckpt.get("asmk_params") or {}
+    sim_p = ap_.get("similarity", ap_) if isinstance(ap_, dict) else {}
+    out["alpha"] = float(sim_p.get("alpha", 3.0))
+    out["similarity_threshold"] = float(
+        sim_p.get("similarity_threshold", 0.0))
+    return out
 
 
 def main(argv=None):
