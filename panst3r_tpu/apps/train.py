@@ -52,6 +52,7 @@ class ExperimentConfig:
     logger: str = "tensorboard"
     mesh_data: int = -1
     mesh_mem: int = 1
+    mesh_model: int = 1   # tensor parallelism (core/tp.py)
     text_encoder: str = "siglip"
     # PQ eval cadence (the reference's train.py:290 eval is a TODO; here it
     # runs the real inference+fusion+PQ pipeline on held-out scenes).
@@ -94,7 +95,8 @@ def main(argv=None):
     from panst3r_tpu.core import distributed as dist
 
     dist.initialize()  # no-op single-host (reference init_distributed_mode)
-    mesh = build_mesh(MeshSpec(data=exp.mesh_data, mem=exp.mesh_mem))
+    mesh = build_mesh(MeshSpec(data=exp.mesh_data, mem=exp.mesh_mem,
+                               model=exp.mesh_model))
     world = mesh.devices.size
     print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
           f"host {dist.process_index()}/{dist.process_count()}")
@@ -148,6 +150,14 @@ def main(argv=None):
     if not mc.freeze_decoder:
         trainable.append("must3r_decoder")
     params = cast_frozen_params(params, tuple(trainable))
+
+    if exp.mesh_model > 1:
+        # Tensor parallelism: split weights over the model axis (core/tp.py);
+        # GSPMD propagates to activations and inserts the per-block
+        # all-reduces inside the jitted steps below.
+        from panst3r_tpu.core.tp import apply_tp
+        with mesh:
+            params = apply_tp(params, mesh)
 
     steps_per_epoch = max(len(dataset) // (exp.train.batch_size * world), 1)
     tx, schedule = build_optimizer(

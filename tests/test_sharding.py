@@ -12,16 +12,17 @@ from panst3r_tpu.ops.sharded_attention import (ring_memory_attention,
 
 
 def test_mesh_spec_resolution():
-    assert MeshSpec(data=-1, mem=2).resolve(8) == (4, 2)
-    assert MeshSpec(data=8, mem=1).resolve(8) == (8, 1)
+    assert MeshSpec(data=-1, mem=2).resolve(8) == (4, 2, 1)
+    assert MeshSpec(data=8, mem=1).resolve(8) == (8, 1, 1)
+    assert MeshSpec(data=2, mem=2, model=-1).resolve(8) == (2, 2, 2)
     with pytest.raises(ValueError):
         MeshSpec(data=3, mem=2).resolve(8)
 
 
 def test_build_mesh_axes():
     mesh = build_mesh(MeshSpec(data=4, mem=2))
-    assert mesh.axis_names == (DATA_AXIS, MEM_AXIS)
-    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == (DATA_AXIS, MEM_AXIS, 'model')
+    assert mesh.devices.shape == (4, 2, 1)
 
 
 def test_sharded_memory_attention_matches_dense(rng):
