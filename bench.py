@@ -81,26 +81,48 @@ def main():
         times.append(time.perf_counter() - t0)
     lat_fps = V / min(times)
 
-    # --- Throughput mode (serving): pipelined scenes.  Uploads, compute
-    # and downloads of consecutive scenes overlap (JAX async dispatch);
-    # each scene's fused maps are fetched one scene behind, so the host
-    # link runs concurrently with the chip.  Distinct per-scene frames —
-    # nothing is cached between scenes.
+    # --- Throughput mode (serving): the wire path.  One XLA program per
+    # scene (encode → memory → render → DINO → panoptic → fusion → 8-bit
+    # quantization) returning a single packed uint8 buffer; per scene the
+    # host does exactly one upload, one launch and one download, with the
+    # previous scene's wire fetched while the current one computes.
+    # Distinct per-scene frames — nothing is cached between scenes.
+    # Motivated by the host-link pathology documented in PERFORMANCE.md:
+    # once any device→host fetch has occurred, the tunneled runtime
+    # serializes every RPC, so steady-state throughput is set by RPCs per
+    # scene, not device FLOPs.  Fusion runs at full 384×512 resolution
+    # (exact reference parity, postprocess.py:18-27).
+    nthr = 2 * runs
     scenes = [np.ascontiguousarray(np.roll(images, s + 1, axis=0))
-              for s in range(runs)]
+              for s in range(nthr)]
+    port_dev, cls_dev = jnp.asarray(portrait), jnp.asarray(cls_emb)
+    wire = engine.serve_device(images, portrait, cls_emb)  # warm compile
+    np.asarray(wire)
     pending = []
     t0 = time.perf_counter()
-    for s in range(runs):
-        out = engine.run_device(scenes[s], portrait, cls_emb)
-        pan, conf, *_ = engine.fuse_device(out, (H, W))
-        pending.append((pan.astype(jnp.uint16), conf.astype(jnp.float16)))
-        if s >= 1:  # fetch previous scene while this one computes
-            p, cf = pending[s - 1]
-            assert np.asarray(p).shape[1] == V
-            np.asarray(cf)
-    p, cf = pending[-1]
-    np.asarray(p), np.asarray(cf)
-    thr_fps = runs * V / (time.perf_counter() - t0)
+    for s in range(nthr):
+        pending.append(engine.serve_device(scenes[s], port_dev, cls_dev))
+        if s >= 1:
+            w = np.asarray(pending[s - 1])
+            assert engine.unpack_wire(w, V)["pan"].shape[0] == V
+    np.asarray(pending[-1])
+    thr_fps = nthr * V / (time.perf_counter() - t0)
+
+    # --- Half-res wire (serving option): fusion at the stride-2 mask
+    # resolution, host nearest-upsample — 4x less fusion HBM traffic and
+    # 4x smaller wire; boundary pixels may differ from the full-res
+    # reference semantics.
+    wire = engine.serve_device(images, portrait, cls_emb, fusion_res="mask")
+    np.asarray(wire)
+    pending = []
+    t0 = time.perf_counter()
+    for s in range(nthr):
+        pending.append(engine.serve_device(scenes[s], port_dev, cls_dev,
+                                           fusion_res="mask"))
+        if s >= 1:
+            np.asarray(pending[s - 1])
+    np.asarray(pending[-1])
+    halfres_fps = nthr * V / (time.perf_counter() - t0)
 
     # --- MFU: analytic FLOPs from XLA's cost model over the stage programs.
     peak_tf = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
@@ -110,9 +132,12 @@ def main():
         mfu_thr = fl * thr_fps / V / (peak_tf * 1e12)
         print(f"# flops/scene={fl/1e12:.2f} TF  latency={lat_fps:.2f} fps "
               f"(MFU {100*mfu_lat:.1f}%)  throughput={thr_fps:.2f} fps "
-              f"(MFU {100*mfu_thr:.1f}%)", file=sys.stderr)
+              f"(MFU {100*mfu_thr:.1f}%)  halfres-wire={halfres_fps:.2f} fps",
+              file=sys.stderr)
     except Exception as e:  # cost model is best-effort
         print(f"# MFU estimate unavailable: {e}", file=sys.stderr)
+        print(f"# latency={lat_fps:.2f} throughput={thr_fps:.2f} "
+              f"halfres-wire={halfres_fps:.2f} fps", file=sys.stderr)
 
     fps = max(lat_fps, thr_fps)
     print(json.dumps({

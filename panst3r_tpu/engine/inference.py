@@ -82,6 +82,7 @@ class InferenceEngine:
                 jnp.issubdtype(p.dtype, jnp.floating) else p,
                 self.params)
         self._fused_cache: dict = {}
+        self._serve_cache: dict = {}
         self._build_stage_fns()
 
     def _build_stage_fns(self):
@@ -466,6 +467,101 @@ class InferenceEngine:
             out_device["pred_logits"][None].astype(jnp.float32),
             out_device["pred_masks"][None].astype(jnp.float32),
             true_shape, label_mode, 0.1, None, 0.25, 0.5, niters, 0.1)
+
+    # ---- Serving wire path: one launch + one download per scene ----
+    #
+    # Rationale (PERFORMANCE.md "host-link pathology"): on links where
+    # every host↔device round-trip is expensive (the tunneled runtime
+    # here degrades to ~30 ms per dispatch once any device→host fetch
+    # has occurred), steady-state serving throughput is bounded by the
+    # number of RPCs per scene, not device FLOPs.  This path compiles
+    # the ENTIRE scene — encode → memory → render → DINO → panoptic →
+    # fusion → 8-bit quantization — into one XLA program returning a
+    # single packed uint8/uint16 wire buffer, so a scene costs exactly
+    # one upload, one launch, and one download.
+
+    def _make_serve(self, V: int, K: int, label_mode: str, niters: int,
+                    fusion_res: str):
+        from panst3r_tpu.engine.fusion import _fusion_full
+
+        fused = self._make_fused(V, K)
+        H, W = self.bucket.shape
+        Q = self.model.config.panoptic.mask_transformer.num_queries
+
+        def serve(params, images, portrait, cls_emb):
+            out = fused(params, images, portrait, cls_emb)
+            ncls = cls_emb.shape[0]
+            wdtype = (jnp.uint8 if Q < 255 and ncls < 255 else jnp.uint16)
+            # fusion_res="mask": fuse at the prediction-mask resolution
+            # (stride 2) and ship half-res maps — ~4x less fusion HBM
+            # traffic and 4x smaller wire; the host nearest-upsamples the
+            # id map (exact for integer ids; conf is approximate at
+            # boundaries).  "full" reproduces the reference exactly
+            # (sigmoid masks bilinearly upsampled BEFORE the argmax,
+            # postprocess.py:18-27).
+            fh, fw = ((out["pred_masks"].shape[-2:])
+                      if fusion_res == "mask" else (H, W))
+            pan, conf, seg_ids, labels, selected = _fusion_full(
+                out["pred_logits"][None].astype(jnp.float32),
+                out["pred_masks"][None].astype(jnp.float32),
+                (fh, fw), label_mode, 0.1, None, 0.25, 0.5, niters, 0.1)
+            conf_q = jnp.clip(conf[0] * 255.0, 0, 255)
+            wire = jnp.concatenate([
+                pan[0].astype(wdtype).reshape(-1),
+                conf_q.astype(wdtype).reshape(-1),
+                seg_ids[0].astype(wdtype),
+                labels[0].astype(wdtype),
+                selected[0].astype(wdtype),
+            ])
+            return wire
+
+        return jax.jit(serve)
+
+    def serve_device(self, images, portrait, cls_embeddings,
+                     num_keyframes: Optional[int] = None,
+                     label_mode: str = "sigmoid", niters: int = 2,
+                     fusion_res: str = "full"):
+        """Whole scene → packed wire buffer, as ONE device program.
+
+        Returns the device wire array; fetch with ``np.asarray`` and
+        decode with :meth:`unpack_wire`.  ``cls_embeddings``/``portrait``
+        should be staged on device once by the caller when serving many
+        scenes.
+        """
+        V = images.shape[0]
+        K = min(num_keyframes or self.num_keyframes, V)
+        key = (V, K, label_mode, niters, fusion_res)
+        if key not in self._serve_cache:
+            self._serve_cache[key] = self._make_serve(V, K, label_mode,
+                                                      niters, fusion_res)
+        cls_emb = jnp.asarray(cls_embeddings)
+        if self.amp:
+            cls_emb = cls_emb.astype(jnp.bfloat16)
+        return self._serve_cache[key](self.params, jnp.asarray(images),
+                                      jnp.asarray(portrait), cls_emb)
+
+    def unpack_wire(self, wire: np.ndarray, V: int) -> dict:
+        """Decode a fetched serve_device buffer → {pan (V,H,W) int32,
+        conf (V,H,W) f32 in [0,1], seg_ids/labels/selected (Q,)}.
+
+        Half-res wires (fusion_res="mask") are nearest-upsampled to the
+        bucket shape on the host (exact for the integer id map).
+        """
+        H, W = self.bucket.shape
+        Q = self.model.config.panoptic.mask_transformer.num_queries
+        n = (wire.size - 3 * Q) // 2
+        h, w = (H, W) if n == V * H * W else (H // 2, W // 2)
+        assert n == V * h * w, f"wire size {wire.size} vs V={V} ({H},{W})"
+        pan = wire[:n].astype(np.int32).reshape(V, h, w)
+        conf = wire[n:2 * n].astype(np.float32).reshape(V, h, w) / 255.0
+        if (h, w) != (H, W):
+            pan = pan.repeat(H // h, axis=1).repeat(W // w, axis=2)
+            conf = conf.repeat(H // h, axis=1).repeat(W // w, axis=2)
+        seg_ids = wire[2 * n:2 * n + Q].astype(np.int32)
+        labels = wire[2 * n + Q:2 * n + 2 * Q].astype(np.int32)
+        selected = wire[2 * n + 2 * Q:2 * n + 3 * Q] != 0
+        return {"pan": pan, "conf": conf, "seg_ids": seg_ids,
+                "labels": labels, "selected": selected}
 
     def pipeline_flops(self, V: int, num_keyframes: Optional[int] = None
                        ) -> float:

@@ -86,8 +86,11 @@ class DinoEncoder(nn.Module):
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         """images: (B, H, W, 3) in dust3r normalization ([-1, 1])."""
         c = self.config
-        mean = jnp.asarray(_IMAGENET_MEAN)
-        std = jnp.asarray(_IMAGENET_STD)
+        # Constants in the image dtype: f32 literals would promote the
+        # whole (frozen, bf16-cast) tower to f32 under amp — measured 96
+        # → ~40 ms for 8 views on a v5e (PERFORMANCE.md round 2).
+        mean = jnp.asarray(_IMAGENET_MEAN, images.dtype)
+        std = jnp.asarray(_IMAGENET_STD, images.dtype)
         x = (images * 0.5 + 0.5 - mean) / std
 
         B, H, W, _ = x.shape

@@ -51,7 +51,7 @@ def _rot2d(x, d: int):
     return rot
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref,
+def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, kbias_ref,
             qcos_ref, qsin_ref, kcos_ref, ksin_ref, o_ref,
             m_scr, l_scr, acc_scr, *, scale: float, nk_blocks: int,
             rope_d: int = 0, lse_ref=None):
@@ -78,6 +78,8 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref,
     if kvalid_ref is not None:
         valid = kvalid_ref[0] != 0               # (1, bk) int mask
         s = jnp.where(valid, s, _NEG_INF)
+    if kbias_ref is not None:
+        s = s + kbias_ref[0]                     # (1, bk) per-key bias
 
     m_prev = m_scr[:, :1]                        # (bq, 1)
     l_prev = l_scr[:, :1]
@@ -132,6 +134,19 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
     Nk = k.shape[2]
     dtype = q.dtype
 
+    kv_bias = None
+    if bias is not None and bias.ndim == 4 and bias.shape[1] == 1 \
+            and bias.shape[2] == 1:
+        # Per-key bias (e.g. the decoder's ±inf memory-validity bias,
+        # models/decoder.py memory_mask_bias): plumb as a (B, Nk) row
+        # loaded (1, block_k) per grid step instead of materializing the
+        # broadcast (B, H, Nq, Nk) f32 bias — which costs ~0.9 GB of HBM
+        # traffic PER LAYER on the flagship render pass (PERFORMANCE.md
+        # round 2 trace).
+        kv_bias = jnp.broadcast_to(bias[:, 0, 0, :],
+                                   (B, Nk)).astype(jnp.float32)
+        bias = None
+
     block_q = min(block_q, _round_up(Nq, 128))
     block_k = min(block_k, _round_up(Nk, 128))
     Dp = _round_up(D, 128)
@@ -139,7 +154,8 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
     Nkp = _round_up(Nk, block_k)
 
     needs_kv_mask = Nkp != Nk
-    if needs_kv_mask and kv_valid is None and bias is None:
+    if needs_kv_mask and kv_valid is None and bias is None \
+            and kv_bias is None:
         kv_valid = jnp.ones((B, Nk), jnp.bool_)
 
     def pad(x, axis, target):
@@ -187,6 +203,17 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
     else:
         kvalid_in = False
 
+    if kv_bias is not None:
+        kb = jnp.pad(kv_bias, ((0, 0), (0, Nkp - Nk)),
+                     constant_values=_NEG_INF)[:, None, :]   # (B, 1, Nkp)
+        args.append(kb)
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b, i, j, H=H: (b // H, 0, j)))
+        kbias_in = True
+    else:
+        kbias_in = False
+
     rope_in = rope is not None
     if rope_in:
         qcos, qsin, kcos, ksin = rope
@@ -211,6 +238,8 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
         idx += int(bias_in)
         kvalid_ref = refs[idx] if kvalid_in else None
         idx += int(kvalid_in)
+        kbias_ref = refs[idx] if kbias_in else None
+        idx += int(kbias_in)
         rope_refs = refs[idx:idx + 4] if rope_in else (None,) * 4
         idx += 4 * int(rope_in)
         o_ref = refs[idx]
@@ -218,7 +247,7 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
         lse_ref = refs[idx] if with_lse else None
         idx += int(with_lse)
         m_scr, l_scr, acc_scr = refs[idx:idx + 3]
-        _kernel(refs[0], refs[1], refs[2], bias_ref, kvalid_ref,
+        _kernel(refs[0], refs[1], refs[2], bias_ref, kvalid_ref, kbias_ref,
                 *rope_refs, o_ref, m_scr, l_scr, acc_scr, scale=scale,
                 nk_blocks=nk_blocks, rope_d=D if rope_in else 0,
                 lse_ref=lse_ref)

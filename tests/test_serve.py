@@ -1,0 +1,90 @@
+"""Serving wire path (engine/inference.py serve_device/unpack_wire) and
+the per-key-bias flash-kernel shortcut it leans on."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panst3r_tpu.core.bucketing import Bucket
+from panst3r_tpu.engine.inference import InferenceEngine
+from panst3r_tpu.models.panst3r import PanSt3R
+from panst3r_tpu.models.presets import tiny_config
+
+H, W, V, NCLS = 32, 48, 5, 6
+
+
+def _engine(rng, **kw):
+    model = PanSt3R(tiny_config())
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, H, W, 3), jnp.float32), jnp.zeros((1, 2), bool),
+        jnp.zeros((NCLS, 24), jnp.float32), (H // 16, W // 16))
+    return InferenceEngine(model, params, Bucket(H, W), num_keyframes=3,
+                           chunk=2, amp=False, **kw)
+
+
+def _scene(rng):
+    images = (rng.random((V, H, W, 3)) * 255).astype(np.uint8)
+    portrait = np.zeros(V, bool)
+    cls_emb = rng.standard_normal((NCLS, 24)).astype(np.float32)
+    return images, portrait, cls_emb
+
+
+def test_serve_wire_matches_fuse_device(rng):
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+
+    wire = np.asarray(eng.serve_device(images, portrait, cls_emb))
+    dec = eng.unpack_wire(wire, V)
+
+    out = eng.run_fused(images, portrait, cls_emb)
+    pan, conf, seg_ids, labels, selected = eng.fuse_device(out, (H, W))
+
+    np.testing.assert_array_equal(dec["pan"], np.asarray(pan)[0])
+    np.testing.assert_allclose(dec["conf"], np.asarray(conf)[0],
+                               atol=1.0 / 255 + 1e-6)
+    np.testing.assert_array_equal(dec["seg_ids"], np.asarray(seg_ids)[0])
+    np.testing.assert_array_equal(dec["labels"], np.asarray(labels)[0])
+    np.testing.assert_array_equal(dec["selected"],
+                                  np.asarray(selected)[0].astype(bool))
+
+
+def test_serve_wire_mask_res(rng):
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+
+    wire = np.asarray(eng.serve_device(images, portrait, cls_emb,
+                                       fusion_res="mask"))
+    dec = eng.unpack_wire(wire, V)
+    assert dec["pan"].shape == (V, H, W)
+    assert dec["conf"].shape == (V, H, W)
+
+    # equals fusing at the mask resolution directly, nearest-upsampled
+    out = eng.run_fused(images, portrait, cls_emb)
+    hm, wm = out["pred_masks"].shape[-2:]
+    pan, *_ = eng.fuse_device(out, (hm, wm))
+    ref = np.asarray(pan)[0].repeat(H // hm, axis=1).repeat(W // wm, axis=2)
+    np.testing.assert_array_equal(dec["pan"], ref)
+
+
+def test_kernel_per_key_bias_shortcut(rng):
+    """(B,1,1,Nk)-shaped bias must take the cheap per-key path and match
+    the dense reference, including -inf entries and padded tails."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from panst3r_tpu.ops.attention import dot_product_attention
+    from panst3r_tpu.ops.pallas.flash_attention import pallas_mha
+
+    B, Hh, Nq, Nk, D = 2, 3, 100, 140, 64
+    q = jnp.asarray(rng.standard_normal((B, Hh, Nq, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hh, Nk, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hh, Nk, D)), jnp.float32)
+    kb = rng.standard_normal((B, 1, 1, Nk)).astype(np.float32)
+    kb[:, :, :, -17:] = -np.inf          # some keys fully masked
+    kb = jnp.asarray(kb)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_mha(q, k, v, bias=kb)
+
+    ref = dot_product_attention(q, k, v, bias=kb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
