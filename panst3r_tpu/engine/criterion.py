@@ -64,6 +64,12 @@ class PanopticLossConfig:
     # random-point gathers to scalar-speed code (~500 ms/step measured,
     # see PERFORMANCE.md round 2).
     matcher_sampling: str = "grid"
+    # Mask-loss sampling: "grid" evaluates CE/dice over the same regular
+    # ~num_points bilinear grid (no gathers); "random" is the reference's
+    # PointRend uncertainty sampling (panoptic.py:410-463) — measured
+    # ~125 ms/step of scalar-speed gathers + scatter-add backward on the
+    # flagship step (PERFORMANCE.md round 2).
+    loss_sampling: str = "grid"
 
 
 def _batch_sigmoid_ce(inputs, targets):
@@ -205,15 +211,40 @@ def _loss_masks(key, pred_masks, targets: Targets, assign, num_masks,
     tgt = targets.masks.reshape(B * T * V, *targets.masks.shape[3:])
     tgt = tgt.astype(jnp.float32)
 
-    coords = jax.lax.stop_gradient(uncertain_point_coords(
-        key, jax.lax.stop_gradient(src), c.num_points, c.oversample_ratio,
-        c.importance_sample_ratio))
     # Per-(mask, view) rows of P points each, exactly as the reference's
     # flatten(0,1) layout (panoptic.py:229-231): CE is the per-row mean over
     # P, dice is per-row; both are summed over the B*T*V rows, divided by
     # num_masks and by V (panoptic.py:255-256).
-    point_logits = point_sample(src, coords)                   # (B*T*V, P)
-    point_labels = jax.lax.stop_gradient(point_sample(tgt, coords))
+    if c.loss_sampling == "grid":
+        # Quadrature over a regular ~num_points bilinear grid: both src
+        # and tgt point-evaluated at the same grid coords (two MXU resize
+        # matmuls), estimating the identical per-pixel integrals as the
+        # random path with zero gathers.  A shared per-step sub-cell
+        # jitter (stratified sampling, gather-free via scale_and_translate)
+        # varies the quadrature points across steps — a FIXED grid lets
+        # low-point-count runs overfit exactly the grid points
+        # (test_learning caught this at 64 points).
+        H_t, W_t = tgt.shape[-2:]
+        gh = max(1, int(round((c.num_points * H_t / W_t) ** 0.5)))
+        gw = max(1, c.num_points // gh)
+        N = src.shape[0]
+        jit_t = jax.random.uniform(key, (2,)) - 0.5   # output-px units
+
+        def q(m):
+            h, w = m.shape[-2:]
+            scale = jnp.array([gh / h, gw / w])
+            return jax.image.scale_and_translate(
+                m, (m.shape[0], gh, gw), (1, 2), scale, jit_t,
+                method="linear", antialias=False).reshape(-1, gh * gw)
+
+        point_logits = q(src)
+        point_labels = jax.lax.stop_gradient(q(tgt))
+    else:
+        coords = jax.lax.stop_gradient(uncertain_point_coords(
+            key, jax.lax.stop_gradient(src), c.num_points,
+            c.oversample_ratio, c.importance_sample_ratio))
+        point_logits = point_sample(src, coords)               # (B*T*V, P)
+        point_labels = jax.lax.stop_gradient(point_sample(tgt, coords))
 
     vmask = jnp.repeat(targets.valid.reshape(-1), V)           # (B*T*V,)
     vmask = vmask.astype(jnp.float32)

@@ -227,3 +227,36 @@ def test_match_grid_equals_random_on_coherent_masks(rng):
                            jnp.asarray(pred), targets, cfg_r))
     np.testing.assert_array_equal(a_g[0], perm)
     np.testing.assert_array_equal(a_r[0], perm)
+
+
+def test_loss_grid_close_to_random_on_coherent_masks(rng):
+    """Grid-quadrature mask loss (loss_sampling='grid') must agree with
+    the reference's random point sampling on spatially coherent masks —
+    both estimate the same per-row CE/dice integrals."""
+    from panst3r_tpu.engine.criterion import _loss_masks
+
+    B_, T_, V_, Q_, H_, W_ = 1, 4, 2, 8, 32, 48
+    yy, xx = np.mgrid[0:H_, 0:W_]
+    tmasks = np.zeros((B_, T_, V_, H_, W_), np.float32)
+    pred = np.full((B_, V_, Q_, H_, W_), -4.0, np.float32)
+    assign = np.arange(T_, dtype=np.int32)[None]
+    for t in range(T_):
+        cy, cx = rng.integers(6, H_ - 6), rng.integers(8, W_ - 8)
+        r = rng.integers(5, 10)
+        disk = ((yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2)
+        tmasks[0, t] = disk[None]
+        # prediction: the same disk shifted by 1px → nonzero but small loss
+        pred[0, :, t] = np.where(np.roll(disk, 1, axis=1), 4.0, -4.0)
+    targets = Targets(labels=jnp.zeros((B_, T_), jnp.int32),
+                      masks=jnp.asarray(tmasks),
+                      valid=jnp.ones((B_, T_), bool),
+                      output_mask=jnp.ones((B_, NCLS), bool))
+
+    cfg_g = PanopticLossConfig(num_points=2048, loss_sampling="grid")
+    cfg_r = PanopticLossConfig(num_points=2048, loss_sampling="random")
+    lm_g, ld_g = _loss_masks(jax.random.PRNGKey(0), jnp.asarray(pred),
+                             targets, jnp.asarray(assign), float(T_), cfg_g)
+    lm_r, ld_r = _loss_masks(jax.random.PRNGKey(0), jnp.asarray(pred),
+                             targets, jnp.asarray(assign), float(T_), cfg_r)
+    np.testing.assert_allclose(float(lm_g), float(lm_r), rtol=0.15)
+    np.testing.assert_allclose(float(ld_g), float(ld_r), rtol=0.15)

@@ -134,7 +134,8 @@ def test_mask_loss_reference_reduction(rng):
 
     B, T, V, Q, h, w = 1, 3, 3, 6, 8, 8
     cfg = PanopticLossConfig(num_points=16, oversample_ratio=1.0,
-                             importance_sample_ratio=1.0)
+                             importance_sample_ratio=1.0,
+                             loss_sampling="random")
     pred = rng.standard_normal((B, V, Q, h, w)).astype(np.float32)
     tmasks = (rng.random((B, T, V, h, w)) < 0.5).astype(np.float32)
     valid = np.array([[True, True, False]])
