@@ -29,7 +29,7 @@ from panst3r_tpu.engine.train import (TrainConfig, TrainState,
                                       build_optimizer, cast_frozen_params,
                                       make_train_step, train_one_epoch,
                                       trainable_mask)
-from panst3r_tpu.data.loader import epoch_batches
+from panst3r_tpu.data.loader import epoch_batches, prefetch
 from panst3r_tpu.data.scannetpp import ScanNetppPanoptic
 from panst3r_tpu.models.panst3r import PanSt3R
 from panst3r_tpu.models.presets import (panst3r_v1_config, panst3r_v2_config,
@@ -53,6 +53,10 @@ class ExperimentConfig:
     mesh_data: int = -1
     mesh_mem: int = 1
     mesh_model: int = 1   # tensor parallelism (core/tp.py)
+    # Host data pipeline: per-batch sample-decode thread pool + background
+    # batch prefetch (the reference's DataLoader num_workers analog).
+    loader_workers: int = 4
+    loader_prefetch: int = 2
     text_encoder: str = "siglip"
     # PQ eval cadence (the reference's train.py:290 eval is a TODO; here it
     # runs the real inference+fusion+PQ pipeline on held-out scenes).
@@ -192,7 +196,10 @@ def main(argv=None):
                                 seed=exp.train.seed,
                                 rank=dist.process_index(),
                                 world_size=dist.process_count(),
-                                num_resolutions=len(exp.resolution))
+                                num_resolutions=len(exp.resolution),
+                                workers=exp.loader_workers)
+        if exp.loader_prefetch > 0:
+            batches = prefetch(batches, exp.loader_prefetch)
         with mesh:
             state, stats = train_one_epoch(
                 state, step_fns, batches, cls_emb, mesh, epoch,

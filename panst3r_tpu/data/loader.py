@@ -9,6 +9,9 @@ preparation (data/targets.py).  Output batches are numpy pytrees ready for
 """
 from __future__ import annotations
 
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -69,20 +72,63 @@ def collate_batch(samples: Sequence[Sequence[dict]], classes: list[str],
 def epoch_batches(dataset, batch_size: int, classes: list[str],
                   max_instances: int, epoch: int, seed: int = 777,
                   rank: int = 0, world_size: int = 1,
-                  num_resolutions: int = 1) -> Iterator[dict]:
+                  num_resolutions: int = 1,
+                  workers: int = 0) -> Iterator[dict]:
     """Deterministic per-epoch iterator with rank sharding.
 
     All samples of one batch share a resolution bucket (drawn per batch) so
     shapes stay static per compiled executable — the reference gets the
     same effect by sampling `resolution` once per __getitem__ tuple.
+
+    ``workers`` > 0 loads the samples of each batch through a thread pool
+    (PIL/numpy release the GIL during decode) — the analog of torch
+    DataLoader's `num_workers` (reference train.py:162-164).  Batch order
+    and contents are identical regardless of ``workers``.
     """
     dataset.set_epoch(epoch)
     rng = np.random.default_rng(seed + epoch)
     order = rng.permutation(len(dataset))
     order = order[rank::world_size]
     n_batches = len(order) // batch_size
-    for b in range(n_batches):
-        idxs = order[b * batch_size:(b + 1) * batch_size]
-        res_idx = int(rng.integers(num_resolutions))
-        samples = [dataset[(int(i), res_idx)] for i in idxs]
-        yield collate_batch(samples, classes, max_instances)
+    pool = ThreadPoolExecutor(workers) if workers > 0 else None
+    try:
+        for b in range(n_batches):
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            res_idx = int(rng.integers(num_resolutions))
+            keys = [(int(i), res_idx) for i in idxs]
+            if pool is not None:
+                samples = list(pool.map(dataset.__getitem__, keys))
+            else:
+                samples = [dataset[k] for k in keys]
+            yield collate_batch(samples, classes, max_instances)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def prefetch(batches: Iterator[dict], depth: int = 2) -> Iterator[dict]:
+    """Run a batch iterator in a background thread, keeping up to ``depth``
+    batches ready — host-side loading overlaps the device step (the
+    pipelining torch DataLoader workers provide in the reference).
+    Exceptions from the producer re-raise at the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    done = object()
+
+    def producer():
+        try:
+            for item in batches:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            q.put(("__prefetch_error__", e))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, tuple) and len(item) == 2 \
+                and item[0] == "__prefetch_error__":
+            raise item[1]
+        yield item

@@ -515,7 +515,7 @@ class InferenceEngine:
             ])
             return wire
 
-        return jax.jit(serve)
+        return serve
 
     def serve_device(self, images, portrait, cls_embeddings,
                      num_keyframes: Optional[int] = None,
@@ -532,12 +532,34 @@ class InferenceEngine:
         K = min(num_keyframes or self.num_keyframes, V)
         key = (V, K, label_mode, niters, fusion_res)
         if key not in self._serve_cache:
-            self._serve_cache[key] = self._make_serve(V, K, label_mode,
-                                                      niters, fusion_res)
+            self._serve_cache[key] = jax.jit(
+                self._make_serve(V, K, label_mode, niters, fusion_res))
         cls_emb = jnp.asarray(cls_embeddings)
         if self.amp:
             cls_emb = cls_emb.astype(jnp.bfloat16)
         return self._serve_cache[key](self.params, jnp.asarray(images),
+                                      jnp.asarray(portrait), cls_emb)
+
+    def serve_many_device(self, scenes, portrait, cls_embeddings,
+                          num_keyframes: Optional[int] = None,
+                          label_mode: str = "sigmoid", niters: int = 2,
+                          fusion_res: str = "full"):
+        """S scenes through ONE program: scenes (S, V, H, W, 3),
+        portrait (S, V).  vmap over the single-scene serve body — the
+        B=1-bound stages (memory build, mask transformer) batch across
+        scenes and fill the MXU; still one launch + one (S, L) wire
+        fetch for all S scenes.  Returns the (S, L) device wire."""
+        S, V = scenes.shape[:2]
+        K = min(num_keyframes or self.num_keyframes, V)
+        key = ("many", V, K, label_mode, niters, fusion_res)
+        if key not in self._serve_cache:
+            serve = self._make_serve(V, K, label_mode, niters, fusion_res)
+            self._serve_cache[key] = jax.jit(
+                jax.vmap(serve, in_axes=(None, 0, 0, None)))
+        cls_emb = jnp.asarray(cls_embeddings)
+        if self.amp:
+            cls_emb = cls_emb.astype(jnp.bfloat16)
+        return self._serve_cache[key](self.params, jnp.asarray(scenes),
                                       jnp.asarray(portrait), cls_emb)
 
     def unpack_wire(self, wire: np.ndarray, V: int) -> dict:

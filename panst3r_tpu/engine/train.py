@@ -171,8 +171,12 @@ def make_train_step(model, tx, loss_config: PanopticLossConfig,
 
     batch: dict with images (B, V, H, W, 3), portrait (B, V),
     targets: Targets pytree, cls_embeddings (ncls, D).
-    amp='bf16': matmuls run at bf16 MXU precision (the torch-autocast
-    analog; the criterion math stays f32 — reference engine/train.py:40).
+    amp='bf16': the torch-autocast analog (reference engine/train.py:37-40)
+    — images enter as bf16, so the frozen bf16-cast towers (encoder,
+    memory decoder, DINOv2) run fully in bf16 activations; trainable
+    (f32-master-weight) modules promote back to f32 at their first layer,
+    and the criterion math stays f32.  Matmul precision is lowered to
+    bf16 as well.
     train_mask: optional pytree of bools (see ``trainable_mask``) — frozen
     leaves enter the forward as constants, so no backward pass is built
     through frozen submodules at all (the torch requires_grad=False
@@ -192,8 +196,11 @@ def make_train_step(model, tx, loss_config: PanopticLossConfig,
                     train_mask, diff_params, state.params)
             ctx = (jax.default_matmul_precision(precision)
                    if precision else _nullcontext())
+            images = batch["images"]
+            if amp == "bf16":
+                images = images.astype(jnp.bfloat16)
             with ctx:
-                panout, _ = model.apply(params, batch["images"],
+                panout, _ = model.apply(params, images,
                                         batch["portrait"], cls_embeddings,
                                         grid)
             total, details = panoptic_loss(

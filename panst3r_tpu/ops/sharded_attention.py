@@ -128,6 +128,8 @@ def ring_memory_attention(mesh: Mesh, q: jnp.ndarray, k: jnp.ndarray,
         B, H, Nq, D = q.shape
 
         def vary(x):  # mark replicated inits as mem-varying (scan carry typing)
+            if hasattr(jax.lax, "pcast"):          # jax >= 0.9
+                return jax.lax.pcast(x, (MEM_AXIS,), to="varying")
             try:
                 return jax.lax.pvary(x, (MEM_AXIS,))
             except AttributeError:  # older jax: no vma tracking

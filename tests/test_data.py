@@ -143,3 +143,33 @@ def test_scannetpp_dataset(tmp_path, rng):
     batches = list(epoch_batches(ds, 2, ds.classes, 8, epoch=0))
     assert len(batches) == len(ds) // 2
     assert batches[0]["images"].dtype == np.float32
+
+
+def test_loader_workers_and_prefetch_parity(tmp_path, rng):
+    """workers/prefetch must not change batch order or contents, and
+    producer exceptions must re-raise at the consumer."""
+    from panst3r_tpu.data.loader import prefetch
+    from panst3r_tpu.data.scannetpp import ScanNetppPanoptic
+
+    _make_scannetpp(str(tmp_path))
+    ds = ScanNetppPanoptic(str(tmp_path), resolution=(64, 48), num_views=2,
+                           aug_crop=0)
+    ref = list(epoch_batches(ds, 2, ds.classes, 8, epoch=1))
+    thr = list(prefetch(epoch_batches(ds, 2, ds.classes, 8, epoch=1,
+                                      workers=3), depth=2))
+    assert len(ref) == len(thr)
+    for a, b in zip(ref, thr):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["targets"].labels,
+                                      b["targets"].labels)
+        np.testing.assert_array_equal(a["targets"].masks, b["targets"].masks)
+
+    def boom():
+        yield ref[0]
+        raise RuntimeError("loader failure")
+
+    it = prefetch(boom(), depth=1)
+    next(it)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="loader failure"):
+        next(it)

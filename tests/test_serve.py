@@ -88,3 +88,15 @@ def test_kernel_per_key_bias_shortcut(rng):
     ref = dot_product_attention(q, k, v, bias=kb)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_serve_many_matches_single(rng):
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+    scenes = np.stack([images, images[::-1].copy()])
+    ports = np.stack([portrait, portrait])
+
+    wires = np.asarray(eng.serve_many_device(scenes, ports, cls_emb))
+    for s in range(2):
+        single = np.asarray(eng.serve_device(scenes[s], portrait, cls_emb))
+        np.testing.assert_array_equal(wires[s], single)
