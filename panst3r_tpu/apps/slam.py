@@ -17,7 +17,9 @@ import numpy as np
 
 
 def run_slam(engine, images: np.ndarray, sim_threshold: float = 0.9,
-             max_interval: int = 5, refine: bool = True) -> dict:
+             max_interval: int = 5, refine: bool = True,
+             ba: bool = False, ba_voxel: float = 0.05,
+             ba_stride: int = 8) -> dict:
     """images: (N, H, W, 3) canonical frames in order."""
     import jax.numpy as jnp
 
@@ -52,6 +54,16 @@ def run_slam(engine, images: np.ndarray, sim_threshold: float = 0.9,
         result["poses_init"] = np.asarray(init)
         result["poses"] = np.asarray(refined)
         result["gn_costs"] = np.asarray(costs).tolist()
+        if ba:
+            # Global structure refinement: pointmap-anchored BA on top of
+            # the pose-graph solution (engine/ba.py).
+            from panst3r_tpu.engine.ba import refine_scene_ba
+
+            ba_poses, ba_costs = refine_scene_ba(
+                pointmaps, result["poses"], stride=ba_stride,
+                voxel=ba_voxel)
+            result["poses"] = ba_poses
+            result["ba_costs"] = np.asarray(ba_costs).tolist()
     return result
 
 
@@ -75,6 +87,11 @@ def main(argv=None):
                     help="npz/json with (N, 4, 4) cam2world poses")
     ap.add_argument("--sim-threshold", type=float, default=0.9)
     ap.add_argument("--max-interval", type=int, default=5)
+    ap.add_argument("--ba", action="store_true",
+                    help="pointmap-anchored bundle adjustment after the "
+                         "pose-graph refinement (engine/ba.py)")
+    ap.add_argument("--ba-voxel", type=float, default=0.05)
+    ap.add_argument("--ba-stride", type=int, default=8)
     args = ap.parse_args(argv)
 
     p = Path(args.images)
@@ -99,7 +116,9 @@ def main(argv=None):
         params = tree
 
     engine = InferenceEngine(model, params, bucket, amp=True, chunk=1)
-    result = run_slam(engine, images, args.sim_threshold, args.max_interval)
+    result = run_slam(engine, images, args.sim_threshold, args.max_interval,
+                      ba=args.ba, ba_voxel=args.ba_voxel,
+                      ba_stride=args.ba_stride)
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
