@@ -57,7 +57,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     The Pallas path never materializes the (Nq, Nk) logits in HBM — this is
     the TPU equivalent of the cuRoPE+xFormers fused path in the reference.
+
+    Exception: short unmasked head-dim-≤64 self-attention (the DINO tower
+    shape) runs the XLA-native path — measured faster than the kernel
+    there (the lane padding 64→128 wastes half the MXU either way, and at
+    Nk ≤ 1k the materialized logits are cheap; PERFORMANCE.md round 2).
     """
+    if bias is None and mask is None and q.shape[-1] <= 64 \
+            and k.shape[2] <= 1024:
+        return dot_product_attention(q, k, v, scale=scale)
     if _use_pallas():
         from panst3r_tpu.ops.pallas.flash_attention import pallas_mha
         try:

@@ -147,8 +147,18 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
                                    (B, Nk)).astype(jnp.float32)
         bias = None
 
-    block_q = min(block_q, _round_up(Nq, 128))
-    block_k = min(block_k, _round_up(Nk, 128))
+    def _pick_block(n: int, cap: int) -> int:
+        # Smallest padded total wins (e.g. Nk=768: block 384 → 0 pad vs
+        # the default 512 → 33% pad); ties prefer the larger block
+        # (fewer grid steps).  Candidates stay (8,128)-tile aligned.
+        # 128 excluded: the extra sequential grid steps cost more than
+        # the padding they save (measured 2.8 → 5.0 ms on the DINO
+        # shape).
+        cands = [c for c in (512, 384, 256) if c <= cap] or [cap]
+        return min(cands, key=lambda c: (_round_up(n, c), -c))
+
+    block_q = _pick_block(Nq, min(block_q, _round_up(Nq, 128)))
+    block_k = _pick_block(Nk, min(block_k, _round_up(Nk, 128)))
     Dp = _round_up(D, 128)
     Nqp = _round_up(Nq, block_q)
     Nkp = _round_up(Nk, block_k)
