@@ -155,7 +155,8 @@ def main(argv=None):
         trainable.append("must3r_decoder")
     params = cast_frozen_params(params, tuple(trainable))
 
-    if exp.mesh_model > 1:
+    from panst3r_tpu.core.mesh import MODEL_AXIS
+    if mesh.shape[MODEL_AXIS] > 1:   # covers mesh_model=-1 ("remaining")
         # Tensor parallelism: split weights over the model axis (core/tp.py);
         # GSPMD propagates to activations and inserts the per-block
         # all-reduces inside the jitted steps below.

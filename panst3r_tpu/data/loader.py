@@ -113,6 +113,7 @@ def prefetch(batches: Iterator[dict], depth: int = 2) -> Iterator[dict]:
     Exceptions from the producer re-raise at the consumer."""
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     done = object()
+    err = object()          # identity sentinels: item values never collide
 
     def producer():
         try:
@@ -120,7 +121,7 @@ def prefetch(batches: Iterator[dict], depth: int = 2) -> Iterator[dict]:
                 q.put(item)
             q.put(done)
         except BaseException as e:  # noqa: BLE001 — re-raised below
-            q.put(("__prefetch_error__", e))
+            q.put((err, e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -128,7 +129,6 @@ def prefetch(batches: Iterator[dict], depth: int = 2) -> Iterator[dict]:
         item = q.get()
         if item is done:
             return
-        if isinstance(item, tuple) and len(item) == 2 \
-                and item[0] == "__prefetch_error__":
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is err:
             raise item[1]
         yield item

@@ -124,6 +124,9 @@ def bundle_adjust(poses: jnp.ndarray, anchors: jnp.ndarray,
     return poses, anchors, costs
 
 
+_SHARDED_BA_CACHE: dict = {}
+
+
 def bundle_adjust_sharded(poses, anchors, obs_view, obs_anchor, x_local,
                           weights, mesh, axis: str = "data",
                           iters: int = 8, damping: float = 1e-4):
@@ -139,27 +142,32 @@ def bundle_adjust_sharded(poses, anchors, obs_view, obs_anchor, x_local,
     O = obs_view.shape[0]
     assert O % n == 0, f"pad observations ({O}) to a multiple of {n}"
 
-    def shard_fn(poses, anchors, ov, oa, xl, w):
-        def body(carry, _):
-            poses, anchors = carry
-            Hc, bc, U, s, ba, cost = _gn_partials(poses, anchors, ov, oa,
-                                                  xl, w, K, A)
-            Hc, bc, U, s, ba, cost = jax.lax.psum(
-                (Hc, bc, U, s, ba, cost), axis)
-            poses, anchors = _gn_update(poses, anchors, Hc, bc, U, s, ba,
-                                        damping)
-            return (poses, anchors), cost
+    # jit cache: a fresh closure per call would recompile every time
+    cache_key = (id(mesh), axis, K, A, O, iters, float(damping))
+    if cache_key in _SHARDED_BA_CACHE:
+        fn = _SHARDED_BA_CACHE[cache_key]
+    else:
+        def shard_fn(poses, anchors, ov, oa, xl, w):
+            def body(carry, _):
+                poses, anchors = carry
+                Hc, bc, U, s, ba, cost = _gn_partials(
+                    poses, anchors, ov, oa, xl, w, K, A)
+                Hc, bc, U, s, ba, cost = jax.lax.psum(
+                    (Hc, bc, U, s, ba, cost), axis)
+                poses, anchors = _gn_update(poses, anchors, Hc, bc, U, s,
+                                            ba, damping)
+                return (poses, anchors), cost
 
-        (poses, anchors), costs = jax.lax.scan(body, (poses, anchors),
-                                               None, length=iters)
-        return poses, anchors, costs
+            (poses, anchors), costs = jax.lax.scan(body, (poses, anchors),
+                                                   None, length=iters)
+            return poses, anchors, costs
 
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P()))
-    return jax.jit(fn)(poses, anchors, obs_view, obs_anchor, x_local,
-                       weights)
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(), P())))
+        _SHARDED_BA_CACHE[cache_key] = fn
+    return fn(poses, anchors, obs_view, obs_anchor, x_local, weights)
 
 
 def voxel_anchors(pts_global: np.ndarray, conf: np.ndarray,
@@ -176,14 +184,18 @@ def voxel_anchors(pts_global: np.ndarray, conf: np.ndarray,
     K, N = conf.shape
     flat = pts_global.reshape(-1, 3)
     keys = np.floor(flat / voxel).astype(np.int64)
-    _, anchor_of, counts = np.unique(
-        keys, axis=0, return_inverse=True, return_counts=True)
+    _, anchor_of = np.unique(keys, axis=0, return_inverse=True)
+    conf_ok = conf.reshape(-1) > 0
+    # rank voxels by VALID observation count only — conf-0 (masked)
+    # points must not buy a voxel an anchor slot
+    counts = np.bincount(anchor_of[conf_ok],
+                         minlength=int(anchor_of.max()) + 1)
     if max_anchors is not None and counts.size > max_anchors:
         keep = np.argsort(-counts)[:max_anchors]
         remap = np.full(counts.size, -1, np.int64)
         remap[keep] = np.arange(keep.size)
         anchor_of = remap[anchor_of]
-    valid = (anchor_of >= 0) & (conf.reshape(-1) > 0)
+    valid = (anchor_of >= 0) & conf_ok
     A = int(anchor_of[valid].max()) + 1 if valid.any() else 0
     w = np.where(valid, conf.reshape(-1), 0.0).astype(np.float64)
     sums = np.zeros((A, 3))
@@ -199,7 +211,7 @@ def voxel_anchors(pts_global: np.ndarray, conf: np.ndarray,
 def refine_scene_ba(pointmaps: dict, poses_init: np.ndarray,
                     stride: int = 8, voxel: float = 0.05,
                     iters: int = 8, damping: float = 1e-4,
-                    conf_threshold: float = 1.0,
+                    conf_threshold: float = 1.5,
                     max_anchors: Optional[int] = 8192):
     """BA refinement of recovered keyframe poses against the network's
     pointmaps (the BASELINE config-4 'global BA refinement' step).
@@ -207,7 +219,9 @@ def refine_scene_ba(pointmaps: dict, poses_init: np.ndarray,
     pointmaps: {'pts3d' (K,H,W,3) global, 'pts3d_local' (K,H,W,3),
     'conf' (K,H,W)} (InferenceEngine.run postprocess output);
     poses_init (K,4,4) cam2world (e.g. engine/pose.py recovery).
-    Returns (poses (K,4,4), costs (iters,)).
+    ``conf_threshold``: postprocess conf = 1 + exp(raw) is strictly > 1,
+    so thresholds must be > 1 to filter anything (default 1.5 drops
+    low-confidence pixels).  Returns (poses (K,4,4), costs (iters,)).
     """
     pts_g = np.asarray(pointmaps["pts3d"])[:, ::stride, ::stride]
     pts_l = np.asarray(pointmaps["pts3d_local"])[:, ::stride, ::stride]

@@ -227,14 +227,18 @@ def _loss_masks(key, pred_masks, targets: Targets, assign, num_masks,
         H_t, W_t = tgt.shape[-2:]
         gh = max(1, int(round((c.num_points * H_t / W_t) ** 0.5)))
         gw = max(1, c.num_points // gh)
-        N = src.shape[0]
         jit_t = jax.random.uniform(key, (2,)) - 0.5   # output-px units
 
         def q(m):
+            # 1-px edge-replicate pad before sampling: the jitter pushes
+            # boundary taps up to half a cell outside the image, where
+            # scale_and_translate would zero-fill and systematically
+            # attenuate edge-cell logits/labels toward 0.
             h, w = m.shape[-2:]
             scale = jnp.array([gh / h, gw / w])
+            m = jnp.pad(m, ((0, 0), (1, 1), (1, 1)), mode="edge")
             return jax.image.scale_and_translate(
-                m, (m.shape[0], gh, gw), (1, 2), scale, jit_t,
+                m, (m.shape[0], gh, gw), (1, 2), scale, jit_t - scale,
                 method="linear", antialias=False).reshape(-1, gh * gw)
 
         point_logits = q(src)

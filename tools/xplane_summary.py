@@ -87,9 +87,9 @@ def summarize(path: str, top_n: int = 30) -> list[tuple[str, float, int]]:
                     lname = bytes(lv).decode()
                 elif lf == 4:
                     events.append(lv)
-            if "XLA Ops" not in lname and "Steps" not in lname \
-                    and lname != "" and "XLA Modules" not in lname:
-                pass
+            # All device lines are aggregated; the line name prefixes each
+            # entry so module/step aggregates ("XLA Modules::", "Steps::")
+            # are distinguishable from individual "XLA Ops::" rows.
             for ev_buf in events:
                 mid = dur = 0
                 for ef, wt, ev in _fields(ev_buf):
