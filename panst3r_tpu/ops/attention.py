@@ -82,7 +82,23 @@ def flash_attention_rope2d(q, k, v, qpos=None, kpos=None, bias=None,
     TPU: fused Pallas kernel (rotation in VMEM — the cuRoPE replacement).
     Elsewhere: jnp rotation + reference attention.  Positions may be None
     on either side (e.g. memory keys already carry positions, queries not).
+
+    Exception (same as flash_attention): short unmasked head-dim-≤64
+    attention — the ViT-L encoder's per-view 768-token self-attention —
+    runs jnp RoPE + the XLA-native path: A/B on chip measured
+    0.90 ms/layer vs 1.34 ms for the fused kernel at (8, 16, 768, 64)
+    bf16 (the 64→128 lane padding costs more than the extra RoPE HBM
+    traffic; PERFORMANCE.md round 2).
     """
+    if bias is None and mask is None and q.shape[-1] <= 64 \
+            and k.shape[2] <= 1024:
+        from panst3r_tpu.ops.rope import apply_rope_2d
+
+        if qpos is not None:
+            q = apply_rope_2d(q, qpos, base)
+        if kpos is not None:
+            k = apply_rope_2d(k, kpos, base)
+        return dot_product_attention(q, k, v, scale=scale)
     if _use_pallas() and qpos is not None and kpos is not None:
         from panst3r_tpu.ops.pallas.flash_attention import pallas_mha_rope2d
         try:
