@@ -20,6 +20,7 @@ a dedicated backward kernel is a planned optimization.
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -51,25 +52,61 @@ def _rot2d(x, d: int):
     return rot
 
 
+def _rope_tables_block(ypos, xpos, d: int, dp: int, base: float):
+    """cos/sin tables for one block, computed in-registers from integer
+    (y, x) positions — the table form (rope2d_tables) streamed ~0.5 GB of
+    f32 tables per layer through HBM on the flagship render pass; two
+    (block,) position rows + a few VPU transcendentals replace it.
+
+    ypos/xpos: (block,) f32.  Layout matches rope2d_tables: lanes [0, d/2)
+    rotate by y, [d/2, d) by x; within each half the d/4 frequencies
+    repeat twice (NeoX).  Lanes >= d are don't-care (the q/k lane padding
+    is zero and _rot2d zero-fills, so 0·cos + 0·sin = 0 regardless)."""
+    half, quarter = d // 2, d // 4
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ypos.shape[0], dp), 1)
+    lhalf = jnp.where(lane < half, lane, lane - half)
+    fidx = jnp.where(lhalf < quarter, lhalf, lhalf - quarter)
+    # inv_freq = base^(-2*i/half), i = freq index (ops/rope.py _inv_freq).
+    inv = jnp.exp(fidx.astype(jnp.float32) * (-2.0 * math.log(base) / half))
+    pos = jnp.where(lane < half, ypos[:, None], xpos[:, None])
+    ang = pos * inv
+    return jnp.cos(ang), jnp.sin(ang)
+
+
 def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, kbias_ref,
-            qcos_ref, qsin_ref, kcos_ref, ksin_ref, o_ref,
-            m_scr, l_scr, acc_scr, *, scale: float, nk_blocks: int,
-            rope_d: int = 0, lse_ref=None):
+            qy_ref, qx_ref, ky_ref, kx_ref, o_ref,
+            m_scr, l_scr, acc_scr, q_scr, *, scale: float, nk_blocks: int,
+            rope_d: int = 0, rope_base: float = 100.0, lse_ref=None):
     ik = pl.program_id(2)
+    rope = qy_ref is not None
 
     @pl.when(ik == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if rope:
+            # Rotate q once per (batch·head, q-block) and keep it in VMEM
+            # scratch across all k steps (rotation in f32, stored in the
+            # matmul dtype).
+            qf = q_ref[0].astype(jnp.float32)
+            cos, sin = _rope_tables_block(qy_ref[0], qx_ref[0], rope_d,
+                                          qf.shape[-1], rope_base)
+            q_scr[...] = (qf * cos + _rot2d(qf, rope_d) * sin).astype(
+                q_scr.dtype)
 
-    q = q_ref[0].astype(jnp.float32)            # (bq, d)
-    k = k_ref[0].astype(jnp.float32)            # (bk, d)
-    if qcos_ref is not None:
-        # Fused 2D RoPE (cuRoPE replacement): rotate q/k in VMEM so the
-        # rotated tensors never materialize in HBM.
-        q = q * qcos_ref[0] + _rot2d(q, rope_d) * qsin_ref[0]
-        k = k * kcos_ref[0] + _rot2d(k, rope_d) * ksin_ref[0]
+    if rope:
+        q = q_scr[...]                          # (bq, d) pre-rotated
+        kf = k_ref[0].astype(jnp.float32)
+        cos, sin = _rope_tables_block(ky_ref[0], kx_ref[0], rope_d,
+                                      kf.shape[-1], rope_base)
+        k = (kf * cos + _rot2d(kf, rope_d) * sin).astype(k_ref.dtype)
+    else:
+        q = q_ref[0]                            # (bq, d)
+        k = k_ref[0]                            # (bk, d)
+    # bf16 inputs, f32 accumulation — same contraction precision as the
+    # XLA-native path (f32×f32 MXU rate is ~4x lower for no extra model
+    # accuracy: inputs are bf16 upstream).
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
@@ -125,10 +162,11 @@ def fold_kv_valid(bias, kv_valid):
 
 def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
                block_q: int = 256, block_k: int = 512,
-               with_lse: bool = False):
-    """rope: optional (qcos, qsin, kcos, ksin), each (B, N, D) fp32 —
-    fused 2D-RoPE tables (see pallas_mha_rope2d).  with_lse additionally
-    returns the per-row log-sum-exp (needed by the flash backward)."""
+               with_lse: bool = False, rope_base: float = 100.0):
+    """rope: optional (qy, qx, ky, kx) integer-valued (B, Nq)/(B, Nk) f32
+    patch positions — 2D-RoPE cos/sin is generated inside the kernel
+    (see pallas_mha_rope2d).  with_lse additionally returns the per-row
+    log-sum-exp (needed by the flash backward)."""
     bias, kv_valid = fold_kv_valid(bias, kv_valid)
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
@@ -226,20 +264,15 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
 
     rope_in = rope is not None
     if rope_in:
-        qcos, qsin, kcos, ksin = rope
-        # Pad: cos→1, sin→0 so padded feature lanes pass through untouched.
-        def pad_tab(t, n_target, one):
-            t = t.astype(jnp.float32)
-            t = jnp.pad(t, ((0, 0), (0, n_target - t.shape[1]),
-                            (0, Dp - D)), constant_values=1.0 if one else 0.0)
-            return t
-        args += [pad_tab(qcos, Nqp, True), pad_tab(qsin, Nqp, False),
-                 pad_tab(kcos, Nkp, True), pad_tab(ksin, Nkp, False)]
+        # (B, N) integer-valued position rows, padded with 0 (padded k
+        # rows are zero vectors, so their rotation is zero regardless).
+        args += [pad(p.astype(jnp.float32), 1, n)
+                 for p, n in zip(rope, (Nqp, Nqp, Nkp, Nkp))]
         in_specs += [
-            pl.BlockSpec((1, block_q, Dp), lambda b, i, j, H=H: (b // H, i, 0)),
-            pl.BlockSpec((1, block_q, Dp), lambda b, i, j, H=H: (b // H, i, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda b, i, j, H=H: (b // H, j, 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda b, i, j, H=H: (b // H, j, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i, j, H=H: (b // H, i)),
+            pl.BlockSpec((1, block_q), lambda b, i, j, H=H: (b // H, i)),
+            pl.BlockSpec((1, block_k), lambda b, i, j, H=H: (b // H, j)),
+            pl.BlockSpec((1, block_k), lambda b, i, j, H=H: (b // H, j)),
         ]
 
     def kernel(*refs):
@@ -257,10 +290,11 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
         lse_ref = refs[idx] if with_lse else None
         idx += int(with_lse)
         m_scr, l_scr, acc_scr = refs[idx:idx + 3]
+        q_scr = refs[idx + 3] if rope_in else None
         _kernel(refs[0], refs[1], refs[2], bias_ref, kvalid_ref, kbias_ref,
-                *rope_refs, o_ref, m_scr, l_scr, acc_scr, scale=scale,
+                *rope_refs, o_ref, m_scr, l_scr, acc_scr, q_scr, scale=scale,
                 nk_blocks=nk_blocks, rope_d=D if rope_in else 0,
-                lse_ref=lse_ref)
+                rope_base=rope_base, lse_ref=lse_ref)
 
     out_specs = [pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0))]
     out_shapes = [jax.ShapeDtypeStruct((B * H, Nqp, Dp), dtype)]
@@ -280,7 +314,7 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, Dp), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((block_q, Dp), dtype)] if rope_in else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -354,36 +388,41 @@ def _mha_bwd(scale, res, g):
 _pallas_mha.defvjp(_mha_fwd, _mha_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def _pallas_mha_rope(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _pallas_mha_rope(q, k, v, bias, kv_valid, qy, qx, ky, kx, scale, base):
     return _flash_fwd(q, k, v, bias, kv_valid, scale,
-                      rope=(qcos, qsin, kcos, ksin))
+                      rope=(qy, qx, ky, kx), rope_base=base)
 
 
-def _mha_rope_fwd(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, scale):
+def _mha_rope_fwd(q, k, v, bias, kv_valid, qy, qx, ky, kx, scale, base):
     if _use_flash_bwd():
         out, lse = _flash_fwd(q, k, v, bias, kv_valid, scale,
-                              rope=(qcos, qsin, kcos, ksin), with_lse=True)
-        return out, (q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, out,
-                     lse)
+                              rope=(qy, qx, ky, kx), with_lse=True,
+                              rope_base=base)
+        return out, (q, k, v, bias, kv_valid, qy, qx, ky, kx, out, lse)
     out = _flash_fwd(q, k, v, bias, kv_valid, scale,
-                     rope=(qcos, qsin, kcos, ksin))
-    return out, (q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, None, None)
+                     rope=(qy, qx, ky, kx), rope_base=base)
+    return out, (q, k, v, bias, kv_valid, qy, qx, ky, kx, None, None)
 
 
-def _mha_rope_bwd(scale, res, g):
-    from panst3r_tpu.ops.rope import apply_rope_tables
+def _mha_rope_bwd(scale, base, res, g):
+    from panst3r_tpu.ops.rope import apply_rope_tables, rope2d_tables
 
-    q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, o, lse = res
+    q, k, v, bias, kv_valid, qy, qx, ky, kx, o, lse = res
+    qpos = jnp.stack([qy, qx], axis=-1)
+    kpos = jnp.stack([ky, kx], axis=-1)
+    D = q.shape[-1]
+    qcos, qsin = rope2d_tables(qpos, D, base)
+    kcos, ksin = rope2d_tables(kpos, D, base)
+    pos_zeros = (jnp.zeros_like(qy), jnp.zeros_like(qx),
+                 jnp.zeros_like(ky), jnp.zeros_like(kx))
     if lse is not None:
         from panst3r_tpu.ops.pallas.flash_attention_bwd import flash_bwd
 
         dq, dk, dv = flash_bwd(q, k, v, bias, kv_valid,
                                (qcos, qsin, kcos, ksin), o, lse, g, scale)
         db = jnp.zeros_like(bias) if bias is not None else None
-        zeros = (jnp.zeros_like(qcos), jnp.zeros_like(qsin),
-                 jnp.zeros_like(kcos), jnp.zeros_like(ksin))
-        return (dq, dk, dv, db, None, *zeros)
+        return (dq, dk, dv, db, None, *pos_zeros)
 
     def ref(q, k, v, bias):
         qr = apply_rope_tables(q, qcos, qsin)
@@ -399,9 +438,7 @@ def _mha_rope_bwd(scale, res, g):
         _, vjp = jax.vjp(lambda q, k, v: ref(q, k, v, None), q, k, v)
         dq, dk, dv = vjp(g)
         db = None
-    zeros = (jnp.zeros_like(qcos), jnp.zeros_like(qsin),
-             jnp.zeros_like(kcos), jnp.zeros_like(ksin))
-    return (dq, dk, dv, db, None, *zeros)
+    return (dq, dk, dv, db, None, *pos_zeros)
 
 
 _pallas_mha_rope.defvjp(_mha_rope_fwd, _mha_rope_bwd)
@@ -411,15 +448,15 @@ def pallas_mha_rope2d(q, k, v, qpos, kpos, bias=None, mask=None, scale=None,
                       base: float = 100.0):
     """Fused 2D-RoPE + flash attention (the cuRoPE+xFormers replacement,
     BASELINE north-star kernel): q/k are rotated by their integer patch
-    positions inside the kernel; rotated tensors never touch HBM.
+    positions inside the kernel (cos/sin generated in-registers); rotated
+    tensors and tables never touch HBM.
     qpos: (B, Nq, 2); kpos: (B, Nk, 2)."""
-    from panst3r_tpu.ops.rope import rope2d_tables
-
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    D = q.shape[-1]
-    qcos, qsin = rope2d_tables(qpos, D, base)
-    kcos, ksin = rope2d_tables(kpos, D, base)
+    # Positions ride as f32 rows (exact for patch-grid ints; float avoids
+    # int cotangents in the custom_vjp).
+    qy, qx = qpos[..., 0].astype(jnp.float32), qpos[..., 1].astype(jnp.float32)
+    ky, kx = kpos[..., 0].astype(jnp.float32), kpos[..., 1].astype(jnp.float32)
     kv_valid = None
     if mask is not None:
         if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1:
@@ -429,8 +466,8 @@ def pallas_mha_rope2d(q, k, v, qpos, kpos, bias=None, mask=None, scale=None,
             mb = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
             bias = mb if bias is None else bias + mb
             mask = None
-    return _pallas_mha_rope(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin,
-                            scale)
+    return _pallas_mha_rope(q, k, v, bias, kv_valid, qy, qx, ky, kx,
+                            scale, base)
 
 
 def pallas_mha(q, k, v, bias=None, mask=None, scale=None):

@@ -31,6 +31,8 @@ from panst3r_tpu.ops.pallas.flash_attention import (_NEG_INF, _rot2d,
 
 
 def _probs(q, k, bias_ref, kvalid_ref, lse, scale):
+    # Operands stay in the input dtype (bf16 in production — f32×f32 runs
+    # at ~1/4 the MXU rate), accumulation in f32.
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if bias_ref is not None:
@@ -44,13 +46,15 @@ def _probs(q, k, bias_ref, kvalid_ref, lse, scale):
 
 
 def _load_qk(q_ref, k_ref, rope_refs, rope_d):
+    """Returns (q, k) in the INPUT dtype (rotation computed in f32)."""
+    if rope_refs[0] is None:
+        return q_ref[0], k_ref[0]
+    qcos, qsin, kcos, ksin = rope_refs
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
-    if rope_refs[0] is not None:
-        qcos, qsin, kcos, ksin = rope_refs
-        q = q * qcos[0] + _rot2d(q, rope_d) * qsin[0]
-        k = k * kcos[0] + _rot2d(k, rope_d) * ksin[0]
-    return q, k
+    q = q * qcos[0] + _rot2d(q, rope_d) * qsin[0]
+    k = k * kcos[0] + _rot2d(k, rope_d) * ksin[0]
+    return q.astype(q_ref.dtype), k.astype(k_ref.dtype)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
@@ -65,12 +69,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
     q, k = _load_qk(q_ref, k_ref, (qcos, qsin, kcos, ksin), rope_d)
     lse = lse_ref[0][:, :1]                          # (bq, 1)
     p = _probs(q, k, bias_ref, kvalid_ref, lse, scale)
-    do = do_ref[0].astype(jnp.float32)
-    dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+    dp = jax.lax.dot_general(do_ref[0], v_ref[0],
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - dvec_ref[0][:, :1]) * scale       # (bq, bk)
-    acc[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+    acc[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                            preferred_element_type=jnp.float32)
 
     @pl.when(ik == nk_blocks - 1)
     def _fin():
@@ -90,16 +94,16 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
     q, k = _load_qk(q_ref, k_ref, (qcos, qsin, kcos, ksin), rope_d)
     lse = lse_ref[0][:, :1]
     p = _probs(q, k, bias_ref, kvalid_ref, lse, scale)   # (bq, bk)
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     dv_acc[...] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (bk, d)
-    dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+    dp = jax.lax.dot_general(do, v_ref[0],
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - dvec_ref[0][:, :1]) * scale
     dk_acc[...] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (bk, d)
 
     @pl.when(iq == nq_blocks - 1)

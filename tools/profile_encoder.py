@@ -30,6 +30,11 @@ def main():
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.standard_normal((V, H, W, 3)), jnp.bfloat16)
     params = jax.jit(enc.init)(jax.random.PRNGKey(0), imgs[:1])
+    # Serve regime: bf16 params (InferenceEngine amp=True) — f32 params
+    # promote every activation to f32 and profile a different program.
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
 
     fwd = jax.jit(lambda p, x: enc.apply(p, x))
     out = fwd(params, imgs)
