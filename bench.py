@@ -124,7 +124,10 @@ def main():
     np.asarray(pending[-1])
     halfres_fps = nthr * V / (time.perf_counter() - t0)
 
-    # --- MFU: analytic FLOPs from XLA's cost model over the stage programs.
+    # --- MFU: analytic matmul/conv FLOPs from the jaxpr counter
+    # (ops/flops.py) over the stage programs — XLA's HLO cost model
+    # undercounts scan'd towers ~6x (while bodies not scaled by trip
+    # count).
     peak_tf = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
     try:
         fl = engine.pipeline_flops(V, K)

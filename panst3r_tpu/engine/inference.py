@@ -587,8 +587,10 @@ class InferenceEngine:
 
     def pipeline_flops(self, V: int, num_keyframes: Optional[int] = None
                        ) -> float:
-        """Analytic FLOPs of one run_device+fuse scene, from XLA's own cost
-        model on the lowered stage programs (BENCH MFU reporting)."""
+        """Analytic FLOPs of one run_device+fuse scene (BENCH MFU
+        reporting) — jaxpr matmul/conv counter (ops/flops.py).  XLA's HLO
+        cost model undercounts `lax.scan`'d towers (while bodies are not
+        scaled by trip count), ~4x low on this pipeline."""
         from panst3r_tpu.engine.fusion import _fusion_full
 
         c = self.model.config
@@ -617,34 +619,34 @@ class InferenceEngine:
         def one(a, n):
             return S((1, n) + a.shape[1:], a.dtype)
 
-        def fl(lowered):
-            cost = lowered.cost_analysis()
-            if cost is None:  # some backends only cost-analyze post-compile
-                cost = lowered.compile().cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0]
-            return float(cost.get("flops", 0.0))
+        from panst3r_tpu.ops.flops import fn_matmul_flops
 
-        total = fl(self._encode_batch.lower(p, img, n=V))
-        total += fl(self._dino_batch.lower(p, img, n=V))
-        total += fl(self._build_memory_jit.lower(
-            p, sel(x, K), mem_s, sel(pos, K),
-            schedule=tuple(c.mem_batches(K))))
-        total += fl(self._render_batch.lower(p, x, pos, mem_s, n=V))
-        total += fl(self._panoptic_joint.lower(
-            p, (one(x, K), one(y, K), one(dino, K)),
+        total = fn_matmul_flops(
+            functools.partial(self._encode_batch, n=V), p, img)
+        total += fn_matmul_flops(
+            functools.partial(self._dino_batch, n=V), p, img)
+        total += fn_matmul_flops(
+            functools.partial(self._build_memory_jit,
+                              schedule=tuple(c.mem_batches(K))),
+            p, sel(x, K), mem_s, sel(pos, K))
+        total += fn_matmul_flops(
+            functools.partial(self._render_batch, n=V), p, x, pos, mem_s)
+        total += fn_matmul_flops(
+            self._panoptic_joint, p, (one(x, K), one(y, K), one(dino, K)),
             S((1, K, H, W, 3), jnp.uint8), one(pos, K),
-            S((1, K), jnp.bool_), cls_emb))
+            S((1, K), jnp.bool_), cls_emb)
         if V > K:
-            total += fl(self._panoptic_queries.lower(
-                p, (one(x, V - K), one(y, V - K), one(dino, V - K)),
+            total += fn_matmul_flops(
+                self._panoptic_queries, p,
+                (one(x, V - K), one(y, V - K), one(dino, V - K)),
                 S((1, V - K, H, W, 3), jnp.uint8), one(pos, V - K),
                 S((1, V - K), jnp.bool_), cls_emb,
-                S((1, mt.num_queries, mt.hidden_dim), dt)))
-        total += fl(_fusion_full.lower(
+                S((1, mt.num_queries, mt.hidden_dim), dt))
+        total += fn_matmul_flops(
+            lambda mc, mp: _fusion_full(mc, mp, (H, W), "sigmoid", 0.1,
+                                        None, 0.25, 0.5, 2, 0.1),
             S((1, mt.num_queries, 32), jnp.float32),
-            S((1, V, mt.num_queries, H // 2, W // 2), jnp.float32),
-            (H, W), "sigmoid", 0.1, None, 0.25, 0.5, 2, 0.1))
+            S((1, V, mt.num_queries, H // 2, W // 2), jnp.float32))
         return total
 
 
