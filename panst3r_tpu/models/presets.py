@@ -55,6 +55,29 @@ def panst3r_v2_config(**overrides) -> PanSt3RConfig:
     )
 
 
+def tiny_v2_config(**overrides) -> PanSt3RConfig:
+    """Small v2-shaped config (InputMixer + LoftUp) for CI — exercises the
+    v2 composite (mixer → LoftUp fpn/mask feats → mask transformer)
+    end-to-end at test sizes."""
+    return PanSt3RConfig(
+        encoder=ViTEncoderConfig(embed_dim=64, depth=2, num_heads=4),
+        decoder=MemoryDecoderConfig(enc_dim=64, dim=48, depth=2, num_heads=4),
+        dino=DinoEncoderConfig(embed_dim=32, depth=1, num_heads=2,
+                               pos_grid=5),
+        panoptic=PanopticDecoderConfig(
+            input_mixer=InputMixerConfig(hidden_dim=32, num_heads=2,
+                                         num_layers=1),
+            upscaler=LoftUpUpscalerConfig(dim=16, n_freqs=4, num_heads=2,
+                                          num_layers=1),
+            mask_transformer=MaskTransformerConfig(
+                hidden_dim=32, ff_dim=64, mask_dim=16, num_queries=16,
+                num_heads=4, dec_layers=2, lang_dim=24, fpn_dims=(32,)),
+            label_mode="sigmoid",
+        ),
+        **overrides,
+    )
+
+
 def tiny_config(**overrides) -> PanSt3RConfig:
     """Small config for CI / dryrun compile checks."""
     return PanSt3RConfig(

@@ -7,13 +7,13 @@ import numpy as np
 from panst3r_tpu.core.bucketing import Bucket
 from panst3r_tpu.engine.inference import InferenceEngine
 from panst3r_tpu.models.panst3r import PanSt3R
-from panst3r_tpu.models.presets import tiny_config
+from panst3r_tpu.models.presets import tiny_config, tiny_v2_config
 
 H, W, V, NCLS = 32, 48, 5, 6
 
 
-def _engine(rng, **kw):
-    model = PanSt3R(tiny_config())
+def _engine(rng, preset=tiny_config, **kw):
+    model = PanSt3R(preset())
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 2, H, W, 3), jnp.float32), jnp.zeros((1, 2), bool),
@@ -46,6 +46,25 @@ def test_serve_wire_matches_fuse_device(rng):
     np.testing.assert_array_equal(dec["labels"], np.asarray(labels)[0])
     np.testing.assert_array_equal(dec["selected"],
                                   np.asarray(selected)[0].astype(bool))
+
+
+def test_serve_wire_v2_composite(rng):
+    """The v2 composite (InputMixer + LoftUp) through the full serve wire:
+    one program, packed buffer decodes to a valid panoptic partition."""
+    eng = _engine(rng, preset=tiny_v2_config)
+    images, portrait, cls_emb = _scene(rng)
+
+    wire = np.asarray(eng.serve_device(images, portrait, cls_emb))
+    dec = eng.unpack_wire(wire, V)
+    assert dec["pan"].shape == (V, H, W)
+    # pan ids reference selected segments only (0 = void)
+    ids = np.unique(dec["pan"])
+    live = set(dec["seg_ids"][dec["selected"]].tolist()) | {0}
+    assert set(ids.tolist()) <= live
+    # matches the staged pipeline + device fusion
+    out = eng.run_fused(images, portrait, cls_emb)
+    pan, *_ = eng.fuse_device(out, (H, W))
+    np.testing.assert_array_equal(dec["pan"], np.asarray(pan)[0])
 
 
 def test_serve_wire_mask_res(rng):
