@@ -481,7 +481,7 @@ class InferenceEngine:
     # one upload, one launch, and one download.
 
     def _make_serve(self, V: int, K: int, label_mode: str, niters: int,
-                    fusion_res: str):
+                    fusion_res: str, with_cameras: bool = False):
         from panst3r_tpu.engine.fusion import _fusion_full
 
         fused = self._make_fused(V, K)
@@ -506,34 +506,52 @@ class InferenceEngine:
                 out["pred_masks"][None].astype(jnp.float32),
                 (fh, fw), label_mode, 0.1, None, 0.25, 0.5, niters, 0.1)
             conf_q = jnp.clip(conf[0] * 255.0, 0, 255)
-            wire = jnp.concatenate([
+            parts = [
                 pan[0].astype(wdtype).reshape(-1),
                 conf_q.astype(wdtype).reshape(-1),
                 seg_ids[0].astype(wdtype),
                 labels[0].astype(wdtype),
                 selected[0].astype(wdtype),
-            ])
-            return wire
+            ]
+            if with_cameras:
+                # On-device camera recovery (Weiszfeld focal + weighted
+                # Procrustes, engine/pose.py) — (V,) focals + (V, 4, 4)
+                # cam2world ride the wire as f32 bytes (~0.5 KB), so the
+                # reconstruction demo needs no pointmap download for
+                # cameras.
+                from panst3r_tpu.engine.pose import recover_cameras
+                from panst3r_tpu.models.decoder import postprocess
+
+                post = postprocess(out["pointmaps_raw"].astype(jnp.float32))
+                focals, c2w = recover_cameras(post, (H, W))
+                cam = jnp.concatenate([focals.reshape(-1),
+                                       c2w.reshape(-1)]).astype(jnp.float32)
+                parts.append(
+                    jax.lax.bitcast_convert_type(cam, jnp.uint8)
+                    .reshape(-1).astype(wdtype))
+            return jnp.concatenate(parts)
 
         return serve
 
     def serve_device(self, images, portrait, cls_embeddings,
                      num_keyframes: Optional[int] = None,
                      label_mode: str = "sigmoid", niters: int = 2,
-                     fusion_res: str = "full"):
+                     fusion_res: str = "full", with_cameras: bool = False):
         """Whole scene → packed wire buffer, as ONE device program.
 
         Returns the device wire array; fetch with ``np.asarray`` and
         decode with :meth:`unpack_wire`.  ``cls_embeddings``/``portrait``
         should be staged on device once by the caller when serving many
-        scenes.
+        scenes.  ``with_cameras`` appends on-device recovered focals +
+        cam2world poses (f32 bytes) to the wire.
         """
         V = images.shape[0]
         K = min(num_keyframes or self.num_keyframes, V)
-        key = (V, K, label_mode, niters, fusion_res)
+        key = (V, K, label_mode, niters, fusion_res, with_cameras)
         if key not in self._serve_cache:
             self._serve_cache[key] = jax.jit(
-                self._make_serve(V, K, label_mode, niters, fusion_res))
+                self._make_serve(V, K, label_mode, niters, fusion_res,
+                                 with_cameras))
         cls_emb = jnp.asarray(cls_embeddings)
         if self.amp:
             cls_emb = cls_emb.astype(jnp.bfloat16)
@@ -543,7 +561,8 @@ class InferenceEngine:
     def serve_many_device(self, scenes, portrait, cls_embeddings,
                           num_keyframes: Optional[int] = None,
                           label_mode: str = "sigmoid", niters: int = 2,
-                          fusion_res: str = "full"):
+                          fusion_res: str = "full",
+                          with_cameras: bool = False):
         """S scenes through ONE program: scenes (S, V, H, W, 3),
         portrait (S, V).  vmap over the single-scene serve body — the
         B=1-bound stages (memory build, mask transformer) batch across
@@ -551,9 +570,10 @@ class InferenceEngine:
         fetch for all S scenes.  Returns the (S, L) device wire."""
         S, V = scenes.shape[:2]
         K = min(num_keyframes or self.num_keyframes, V)
-        key = ("many", V, K, label_mode, niters, fusion_res)
+        key = ("many", V, K, label_mode, niters, fusion_res, with_cameras)
         if key not in self._serve_cache:
-            serve = self._make_serve(V, K, label_mode, niters, fusion_res)
+            serve = self._make_serve(V, K, label_mode, niters, fusion_res,
+                                     with_cameras)
             self._serve_cache[key] = jax.jit(
                 jax.vmap(serve, in_axes=(None, 0, 0, None)))
         cls_emb = jnp.asarray(cls_embeddings)
@@ -562,16 +582,19 @@ class InferenceEngine:
         return self._serve_cache[key](self.params, jnp.asarray(scenes),
                                       jnp.asarray(portrait), cls_emb)
 
-    def unpack_wire(self, wire: np.ndarray, V: int) -> dict:
+    def unpack_wire(self, wire: np.ndarray, V: int,
+                    with_cameras: bool = False) -> dict:
         """Decode a fetched serve_device buffer → {pan (V,H,W) int32,
-        conf (V,H,W) f32 in [0,1], seg_ids/labels/selected (Q,)}.
+        conf (V,H,W) f32 in [0,1], seg_ids/labels/selected (Q,)} (+
+        {focals (V,), cam2world (V,4,4)} for ``with_cameras`` wires).
 
         Half-res wires (fusion_res="mask") are nearest-upsampled to the
         bucket shape on the host (exact for the integer id map).
         """
         H, W = self.bucket.shape
         Q = self.model.config.panoptic.mask_transformer.num_queries
-        n = (wire.size - 3 * Q) // 2
+        cam_tail = 4 * (V + V * 16) if with_cameras else 0
+        n = (wire.size - 3 * Q - cam_tail) // 2
         h, w = (H, W) if n == V * H * W else (H // 2, W // 2)
         assert n == V * h * w, f"wire size {wire.size} vs V={V} ({H},{W})"
         pan = wire[:n].astype(np.int32).reshape(V, h, w)
@@ -582,8 +605,15 @@ class InferenceEngine:
         seg_ids = wire[2 * n:2 * n + Q].astype(np.int32)
         labels = wire[2 * n + Q:2 * n + 2 * Q].astype(np.int32)
         selected = wire[2 * n + 2 * Q:2 * n + 3 * Q] != 0
-        return {"pan": pan, "conf": conf, "seg_ids": seg_ids,
-                "labels": labels, "selected": selected}
+        out = {"pan": pan, "conf": conf, "seg_ids": seg_ids,
+               "labels": labels, "selected": selected}
+        if with_cameras:
+            cam = (wire[2 * n + 3 * Q:].astype(np.uint8)
+                   .tobytes())
+            cam = np.frombuffer(cam, np.float32)
+            out["focals"] = cam[:V].copy()
+            out["cam2world"] = cam[V:].reshape(V, 4, 4).copy()
+        return out
 
     def pipeline_flops(self, V: int, num_keyframes: Optional[int] = None
                        ) -> float:

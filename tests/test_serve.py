@@ -85,6 +85,35 @@ def test_serve_wire_mask_res(rng):
     np.testing.assert_array_equal(dec["pan"], ref)
 
 
+def test_serve_wire_with_cameras(rng):
+    """with_cameras appends on-device recovered focals + poses that match
+    host-side recover_cameras on the same pointmaps."""
+    from panst3r_tpu.engine.pose import recover_cameras
+    from panst3r_tpu.models.decoder import postprocess
+
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+
+    wire = np.asarray(eng.serve_device(images, portrait, cls_emb,
+                                       with_cameras=True))
+    dec = eng.unpack_wire(wire, V, with_cameras=True)
+    assert dec["focals"].shape == (V,)
+    assert dec["cam2world"].shape == (V, 4, 4)
+    np.testing.assert_allclose(dec["cam2world"][:, 3], [[0, 0, 0, 1]] * V)
+
+    out = eng.run_fused(images, portrait, cls_emb)
+    post = postprocess(np.asarray(out["pointmaps_raw"]).astype(np.float32))
+    focals, c2w = recover_cameras(post, (H, W))
+    np.testing.assert_allclose(dec["focals"], np.asarray(focals),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dec["cam2world"], np.asarray(c2w),
+                               rtol=1e-3, atol=1e-3)
+    # the base wire still decodes identically
+    base = eng.unpack_wire(np.asarray(
+        eng.serve_device(images, portrait, cls_emb)), V)
+    np.testing.assert_array_equal(dec["pan"], base["pan"])
+
+
 def test_kernel_per_key_bias_shortcut(rng):
     """(B,1,1,Nk)-shaped bias must take the cheap per-key path and match
     the dense reference, including -inf entries and padded tails."""
