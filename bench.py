@@ -108,6 +108,28 @@ def main():
     np.asarray(pending[-1])
     thr_fps = nthr * V / (time.perf_counter() - t0)
 
+    # --- Batched-scenes throughput (BENCH_MANY=S): S scenes vmapped into
+    # ONE program (serve_many_device) — the B=1-bound stages (memory
+    # build, mask transformer) batch across scenes and fill the MXU;
+    # still one launch + one (S, L) wire fetch per batch.
+    many = int(os.environ.get("BENCH_MANY", "0"))
+    many_fps = None
+    if many > 1:
+        batches = [np.stack([scenes[(b * many + s) % nthr]
+                             for s in range(many)])
+                   for b in range(max(2, nthr // many))]
+        ports = np.tile(portrait, (many, 1))
+        w = engine.serve_many_device(batches[0], ports, cls_dev)
+        np.asarray(w)
+        pending = []
+        t0 = time.perf_counter()
+        for b, sc in enumerate(batches):
+            pending.append(engine.serve_many_device(sc, ports, cls_dev))
+            if b >= 1:
+                np.asarray(pending[b - 1])
+        np.asarray(pending[-1])
+        many_fps = len(batches) * many * V / (time.perf_counter() - t0)
+
     # --- Half-res wire (serving option): fusion at the stride-2 mask
     # resolution, host nearest-upsample — 4x less fusion HBM traffic and
     # 4x smaller wire; boundary pixels may differ from the full-res
@@ -133,16 +155,20 @@ def main():
         fl = engine.pipeline_flops(V, K)
         mfu_lat = fl * lat_fps / V / (peak_tf * 1e12)
         mfu_thr = fl * thr_fps / V / (peak_tf * 1e12)
+        many_s = (f"  batched[{many}]={many_fps:.2f} fps "
+                  f"(MFU {100 * fl * many_fps / V / (peak_tf * 1e12):.1f}%)"
+                  if many_fps else "")
         print(f"# flops/scene={fl/1e12:.2f} TF  latency={lat_fps:.2f} fps "
               f"(MFU {100*mfu_lat:.1f}%)  throughput={thr_fps:.2f} fps "
-              f"(MFU {100*mfu_thr:.1f}%)  halfres-wire={halfres_fps:.2f} fps",
+              f"(MFU {100*mfu_thr:.1f}%)  halfres-wire={halfres_fps:.2f} fps"
+              f"{many_s}",
               file=sys.stderr)
     except Exception as e:  # cost model is best-effort
         print(f"# MFU estimate unavailable: {e}", file=sys.stderr)
         print(f"# latency={lat_fps:.2f} throughput={thr_fps:.2f} "
               f"halfres-wire={halfres_fps:.2f} fps", file=sys.stderr)
 
-    fps = max(lat_fps, thr_fps)
+    fps = max(lat_fps, thr_fps, many_fps or 0.0)
     print(json.dumps({
         "metric": "inference_frames_per_s_per_chip_512px",
         "value": round(fps, 3),
