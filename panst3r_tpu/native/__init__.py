@@ -21,21 +21,26 @@ import numpy as np
 _SRC_DIR = Path(__file__).parent
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_lap_lib: Optional[ctypes.CDLL] = None
+_lap_failed = False
+
+
+def _compile(src: Path, stem: str) -> ctypes.CDLL:
+    tag = hashlib.sha1(src.read_bytes()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"panst3r_{stem}_{tag}.so"
+    if not out.exists():
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(out)],
+            check=True, capture_output=True, timeout=120)
+    return ctypes.CDLL(str(out))
 
 
 def _build() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    src = _SRC_DIR / "rasterizer.cpp"
-    tag = hashlib.sha1(src.read_bytes()).hexdigest()[:12]
-    out = Path(tempfile.gettempdir()) / f"panst3r_rasterizer_{tag}.so"
     try:
-        if not out.exists():
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(out)],
-                check=True, capture_output=True, timeout=120)
-        lib = ctypes.CDLL(str(out))
+        lib = _compile(_SRC_DIR / "rasterizer.cpp", "rasterizer")
         lib.rasterize_mesh.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -47,6 +52,50 @@ def _build() -> Optional[ctypes.CDLL]:
     except Exception:
         _build_failed = True
     return _lib
+
+
+def _build_lap() -> Optional[ctypes.CDLL]:
+    global _lap_lib, _lap_failed
+    if _lap_lib is not None or _lap_failed:
+        return _lap_lib
+    try:
+        lib = _compile(_SRC_DIR / "lap.cpp", "lap")
+        lib.solve_lap.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.solve_lap.restype = ctypes.c_int
+        _lap_lib = lib
+    except Exception:
+        _lap_failed = True
+    return _lap_lib
+
+
+def lap_jv(cost: np.ndarray) -> Optional[tuple]:
+    """Exact min-cost assignment (native shortest-augmenting-path solver,
+    lap.cpp).  cost: (R, C) dense.  Returns (row_ind, col_ind) covering
+    min(R, C) pairs, row_ind ascending — scipy `linear_sum_assignment`
+    surface.  None if the native build is unavailable (caller falls back)."""
+    lib = _build_lap()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float64)
+    R, C = cost.shape
+    transpose = R > C
+    if transpose:
+        cost = np.ascontiguousarray(cost.T)
+    nr, nc = cost.shape
+    out = np.empty(nr, np.int64)
+    rc = lib.solve_lap(
+        cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(nr), ctypes.c_int64(nc),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError("cost matrix is infeasible")
+    if transpose:
+        rows, cols = out, np.arange(nr, dtype=np.int64)
+        order = np.argsort(rows)
+        return rows[order], cols[order]
+    return np.arange(nr, dtype=np.int64), out
 
 
 def _rasterize_numpy(verts, faces, face_labels, K, H, W):

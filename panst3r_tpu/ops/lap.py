@@ -114,7 +114,14 @@ def auction_lap(cost: jnp.ndarray, max_iters: int = 5000, span=None,
 
 
 def exact_lap(cost) -> tuple[np.ndarray, np.ndarray]:
-    """Exact LAP on host (scipy C++ Jonker-Volgenant), eval/test path."""
+    """Exact LAP on host — the native shortest-augmenting-path solver
+    (native/lap.cpp, the framework's own C++ replacement for the
+    reference's scipy dependency); scipy fallback without a toolchain."""
+    from panst3r_tpu.native import lap_jv
+
+    res = lap_jv(np.asarray(cost))
+    if res is not None:
+        return res
     from scipy.optimize import linear_sum_assignment
 
     rows, cols = linear_sum_assignment(np.asarray(cost))

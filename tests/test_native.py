@@ -54,3 +54,49 @@ def test_cpp_matches_numpy_fallback(rng):
     np.testing.assert_allclose(d_cc, d_np, atol=1e-4)
     mismatch = (l_cc != l_np).mean()
     assert mismatch < 0.01  # edge-pixel ties may differ
+
+
+# ---------------------------------------------------------------- LAP ----
+
+
+def test_native_lap_matches_scipy():
+    """native/lap.cpp vs scipy on random dense matrices (optimal cost must
+    be identical; assignments may differ only among exact ties)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from panst3r_tpu.native import lap_jv
+
+    rng = np.random.default_rng(0)
+    shapes = [(5, 5), (16, 16), (200, 16), (16, 200), (64, 33), (1, 7)]
+    for R, C in shapes:
+        for _ in range(3):
+            cost = rng.standard_normal((R, C)) * 10
+            res = lap_jv(cost)
+            if res is None:
+                pytest.skip("no toolchain")
+            rows, cols = res
+            assert len(rows) == min(R, C)
+            assert len(np.unique(rows)) == len(rows)
+            assert len(np.unique(cols)) == len(cols)
+            sr, sc = linear_sum_assignment(cost)
+            np.testing.assert_allclose(cost[rows, cols].sum(),
+                                       cost[sr, sc].sum(), rtol=1e-12)
+
+
+def test_native_lap_with_sentinel_padding():
+    """Tall matcher-shaped matrices with big sentinel columns (the
+    criterion's padding) stay exact."""
+    from scipy.optimize import linear_sum_assignment
+
+    from panst3r_tpu.native import lap_jv
+
+    rng = np.random.default_rng(1)
+    cost = rng.standard_normal((200, 16))
+    cost[:, 10:] = 1e6                     # padded targets
+    res = lap_jv(cost)
+    if res is None:
+        pytest.skip("no toolchain")
+    rows, cols = res
+    sr, sc = linear_sum_assignment(cost)
+    np.testing.assert_allclose(cost[rows, cols].sum(),
+                               cost[sr, sc].sum(), rtol=1e-12)
