@@ -49,7 +49,11 @@ def main():
     portrait = np.zeros(V, bool)
     cls_emb = rng.standard_normal((NCLS, 768)).astype(np.float32)
 
-    model = PanSt3R(panst3r_v1_config())
+    # BENCH_INIT_VIEWS=K: joint memory injection (one update pass over all
+    # K keyframes instead of the reference's sequential [2,1,1,...]) —
+    # serving-speed knob, documented deviation.
+    iv = int(os.environ.get("BENCH_INIT_VIEWS", "2"))
+    model = PanSt3R(panst3r_v1_config(init_num_views=iv))
     import jax.numpy as jnp
 
     params = jax.jit(model.init, static_argnums=(4,))(
