@@ -151,11 +151,34 @@ def export_scene(out_dir: str | Path, images: np.ndarray, scene: dict,
         keep[idx] = True
     write_ply(out_dir / "scene.ply", pts[keep], blend[keep])
 
+    # 3D labels at segment medoids (reference ViserVisualizer,
+    # demo_panst3r.py:622-687): medoid computed on a ≤512-point subsample
+    # of each segment's confident points.
+    rng_l = np.random.default_rng(0)
+    labels = []
+    for seg in scene["segments_info"]:
+        m = (pan_flat == seg["id"]) & (conf > conf_threshold)
+        if not m.any():
+            m = pan_flat == seg["id"]
+        if not m.any():
+            continue
+        p = pts[m]
+        if len(p) > 512:
+            p = p[rng_l.choice(len(p), 512, replace=False)]
+        d = np.linalg.norm(p[:, None] - p[None], axis=-1).sum(1)
+        labels.append({
+            "id": int(seg["id"]),
+            "name": seg.get("category_name", str(seg["category_id"])),
+            "pos": [float(v) for v in p[int(d.argmin())]],
+        })
+
     meta = {
         "focals": scene["focals"].tolist(),
         "cams2world": scene["cams2world"].tolist(),
         "segments_info": scene["segments_info"],
         "keyframes": scene["keyframes"],
+        "image_size": [int(H), int(W)],
+        "labels": labels,
     }
     (out_dir / "cameras.json").write_text(json.dumps(meta, indent=2))
 

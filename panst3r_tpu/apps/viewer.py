@@ -22,11 +22,16 @@ _HTML = """<!DOCTYPE html>
 <style>
  body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  #hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px;
-        border-radius:6px; }
+        border-radius:6px; z-index:2; }
+ .seglabel { position:fixed; background:#000a; color:#fff; padding:1px 5px;
+        border-radius:4px; font-size:11px; pointer-events:none; z-index:1; }
  canvas { display:block; }
 </style></head><body>
 <div id="hud">panst3r_tpu — drag: orbit, shift-drag: pan, wheel: zoom<br>
-<span id="info">loading…</span></div>
+<span id="info">loading…</span><br>
+<label><input type="checkbox" id="spin"> auto-orbit</label>
+<label><input type="checkbox" id="lbl" checked> labels</label></div>
+<div id="labels"></div>
 <canvas id="c"></canvas>
 <script>
 const canvas = document.getElementById('c');
@@ -70,14 +75,46 @@ function mat(){
     M[i*4+j]=0; for(let k=0;k<4;k++) M[i*4+j]+=P[k*4+j]*V[i*4+k]; }
   return M;
 }
+let pb=null, cb=null, fb=null, fcb=null, nf=0, labels=[];
+function bindAttr(buf, name){
+  gl.bindBuffer(gl.ARRAY_BUFFER, buf);
+  const l = gl.getAttribLocation(prog, name);
+  gl.enableVertexAttribArray(l);
+  gl.vertexAttribPointer(l,3,gl.FLOAT,false,0,0);
+}
+function project(M, p){
+  const x=M[0]*p[0]+M[4]*p[1]+M[8]*p[2]+M[12];
+  const y=M[1]*p[0]+M[5]*p[1]+M[9]*p[2]+M[13];
+  const w=M[3]*p[0]+M[7]*p[1]+M[11]*p[2]+M[15];
+  return [x/w, y/w, w];
+}
 function draw(){
   canvas.width = innerWidth; canvas.height = innerHeight;
   gl.viewport(0,0,canvas.width,canvas.height);
   gl.clearColor(0.07,0.07,0.07,1); gl.clear(gl.COLOR_BUFFER_BIT);
   gl.enable(gl.DEPTH_TEST);
-  gl.uniformMatrix4fv(gl.getUniformLocation(prog,'mvp'), false, mat());
-  gl.drawArrays(gl.POINTS, 0, n);
+  const M = mat();
+  gl.uniformMatrix4fv(gl.getUniformLocation(prog,'mvp'), false, M);
+  if(pb){ bindAttr(pb,'p'); bindAttr(cb,'col');
+          gl.drawArrays(gl.POINTS, 0, n); }
+  if(fb){ bindAttr(fb,'p'); bindAttr(fcb,'col');
+          gl.drawArrays(gl.LINES, 0, nf); }
+  // 3D segment labels at medoids (reference ViserVisualizer labels)
+  const box = document.getElementById('labels');
+  const show = document.getElementById('lbl').checked;
+  box.innerHTML = '';
+  if(show) for(const L of labels){
+    const s = project(M, L.pos);
+    if(s[2] <= 0) continue;
+    const el = document.createElement('div');
+    el.className = 'seglabel'; el.textContent = L.name;
+    el.style.left = ((s[0]*0.5+0.5)*canvas.width)+'px';
+    el.style.top = ((-s[1]*0.5+0.5)*canvas.height)+'px';
+    box.appendChild(el);
+  }
 }
+setInterval(()=>{ if(document.getElementById('spin').checked){
+  theta += 0.01; draw(); } }, 33);
 let drag=false, panning=false, lx=0, ly=0;
 canvas.onmousedown = e=>{drag=true; panning=e.shiftKey; lx=e.x; ly=e.y;};
 onmouseup = ()=>drag=false;
@@ -105,20 +142,42 @@ fetch('scene.ply').then(r=>r.text()).then(txt=>{
     sx+=pos[3*k]; sy+=pos[3*k+1]; sz+=pos[3*k+2];
   }
   cx=sx/count; cy=sy/count; cz=sz/count; n=count;
-  const pb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, pb);
+  pb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, pb);
   gl.bufferData(gl.ARRAY_BUFFER, pos, gl.STATIC_DRAW);
-  const lp = gl.getAttribLocation(prog,'p');
-  gl.enableVertexAttribArray(lp); gl.vertexAttribPointer(lp,3,gl.FLOAT,false,0,0);
-  const cb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, cb);
+  cb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, cb);
   gl.bufferData(gl.ARRAY_BUFFER, col, gl.STATIC_DRAW);
-  const lc = gl.getAttribLocation(prog,'col');
-  gl.enableVertexAttribArray(lc); gl.vertexAttribPointer(lc,3,gl.FLOAT,false,0,0);
   document.getElementById('info').textContent = count + ' points';
   draw();
 });
+const W2V = p => [p[0], -p[1], -p[2]];  // PLY→view flip (see loader)
 fetch('cameras.json').then(r=>r.json()).then(m=>{
   const info = document.getElementById('info');
   info.textContent += ' · ' + m.segments_info.length + ' segments';
+  labels = (m.labels||[]).map(L=>({name:L.name, pos:W2V(L.pos)}));
+  // Camera frusta from cams2world + focals (reference frusta,
+  // demo_panst3r.py ViserVisualizer).
+  if(m.cams2world && m.image_size){
+    const [H, W] = m.image_size, d = 0.25, verts = [];
+    m.cams2world.forEach((T, i)=>{
+      const f = m.focals[i];
+      const corners = [[-W/2/f*d,-H/2/f*d,d],[W/2/f*d,-H/2/f*d,d],
+                       [W/2/f*d,H/2/f*d,d],[-W/2/f*d,H/2/f*d,d]];
+      const tf = p=>W2V([T[0][0]*p[0]+T[0][1]*p[1]+T[0][2]*p[2]+T[0][3],
+                         T[1][0]*p[0]+T[1][1]*p[1]+T[1][2]*p[2]+T[1][3],
+                         T[2][0]*p[0]+T[2][1]*p[1]+T[2][2]*p[2]+T[2][3]]);
+      const o = tf([0,0,0]), c = corners.map(tf);
+      for(let k=0;k<4;k++){ verts.push(...o, ...c[k]);
+                            verts.push(...c[k], ...c[(k+1)%4]); }
+    });
+    nf = verts.length/3;
+    fb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, fb);
+    gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(verts), gl.STATIC_DRAW);
+    const fc = new Float32Array(verts.length);
+    for(let k=0;k<nf;k++){ fc[3*k]=1.0; fc[3*k+1]=0.6; fc[3*k+2]=0.1; }
+    fcb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, fcb);
+    gl.bufferData(gl.ARRAY_BUFFER, fc, gl.STATIC_DRAW);
+  }
+  draw();
 }).catch(()=>{});
 </script></body></html>
 """

@@ -52,6 +52,12 @@ def test_reconstruct_and_export(tmp_path, rng):
     assert (tmp_path / "panoptic_000.png").exists()
     meta = json.loads((tmp_path / "cameras.json").read_text())
     assert len(meta["focals"]) == 4
+    assert meta["image_size"] == [H, W]
+    # one 3D medoid label per exported segment, finite positions
+    assert len(meta["labels"]) == len(meta["segments_info"])
+    for lab in meta["labels"]:
+        assert len(lab["pos"]) == 3
+        assert all(np.isfinite(lab["pos"]))
     header = (tmp_path / "scene.ply").read_text().splitlines()[:3]
     assert header[0] == "ply"
 
