@@ -85,6 +85,22 @@ def test_serve_wire_mask_res(rng):
     np.testing.assert_array_equal(dec["pan"], ref)
 
 
+def test_serve_wire_uint16_path(rng):
+    """ncls >= 255 forces the uint16 wire; pack/unpack must stay exact."""
+    eng = _engine(rng)
+    images = (rng.random((V, H, W, 3)) * 255).astype(np.uint8)
+    portrait = np.zeros(V, bool)
+    cls_emb = rng.standard_normal((300, 24)).astype(np.float32)
+
+    wire = np.asarray(eng.serve_device(images, portrait, cls_emb))
+    assert wire.dtype == np.uint16
+    dec = eng.unpack_wire(wire, V)
+    out = eng.run_fused(images, portrait, cls_emb)
+    pan, conf, seg_ids, labels, selected = eng.fuse_device(out, (H, W))
+    np.testing.assert_array_equal(dec["pan"], np.asarray(pan)[0])
+    np.testing.assert_array_equal(dec["labels"], np.asarray(labels)[0])
+
+
 def test_serve_wire_with_cameras(rng):
     """with_cameras appends on-device recovered focals + poses that match
     host-side recover_cameras on the same pointmaps."""
