@@ -702,3 +702,82 @@ def test_native_text_tower_live_open_vocab(tmp_path, rng):
     emb = te(["chair", "table"])
     assert emb.shape == (2, 24)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Reverse export (flax -> torch) roundtrip
+# ---------------------------------------------------------------------------
+
+def test_export_roundtrip_bit_exact(rng):
+    """torch sd -> port -> flax -> export -> torch sd' must be bit-exact
+    for every non-ignored key (the id-tracing exporter inverts the port
+    by construction)."""
+    from transformers import Dinov2Config, Dinov2Model
+
+    from tests.test_port import _fake_reference_mask_transformer_sd
+    from panst3r_tpu.models.mask_transformer import MaskTransformerConfig
+    from tools.export_torch_checkpoint import export_checkpoint
+
+    sd = {}
+    sd.update(_sd(TEncoder(dim=32, depth=2, heads=2), "must3r_encoder"))
+    sd.update(_sd(TMemoryDecoder(32, 24, 2, 2), "must3r_decoder"))
+    hf = Dinov2Model(Dinov2Config(hidden_size=32, num_hidden_layers=2,
+                                  num_attention_heads=2, mlp_ratio=2,
+                                  image_size=28, patch_size=14))
+    sd.update(_sd(hf, "dino_encoder.dinov2"))
+    sd.update(_sd(TInputMixer(48, 32, 2, 2), "panoptic_decoder.input_mixer"))
+    sd.update(_sd(TLoftUp(24, 16), "panoptic_decoder.upscaler"))
+    mt_cfg = MaskTransformerConfig(hidden_dim=32, ff_dim=64, mask_dim=16,
+                                   num_queries=8, num_heads=4, dec_layers=2,
+                                   lang_dim=24, fpn_dims=(32,))
+    sd.update(_fake_reference_mask_transformer_sd(rng, mt_cfg))
+
+    ported, report = port.port_checkpoint(sd)
+    assert report["unmapped"] == []
+
+    out, ereport = export_checkpoint(ported, sd)
+    assert ereport["missing"] == []
+    assert set(ereport["passthrough"]) == set(report["ignored"])
+    assert set(out) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(
+            np.asarray(out[k]), np.asarray(sd[k]), err_msg=k)
+
+
+def test_export_roundtrip_interleaved_rope(rng):
+    """The interleaved->half RoPE row permutation must invert exactly.
+    (Module-level port: head count is a config input, not inferable from
+    the sd, and the tiny test dims break port_checkpoint's ViT-L default.)
+    """
+    from tools.export_torch_checkpoint import _leaf, export_checkpoint
+
+    sd = _sd(TEncoder(dim=32, depth=2, heads=2), "must3r_encoder")
+
+    def run_port(s):
+        ctx = port.Port(s, rope_layout="interleaved")
+        tree = {"must3r_encoder": port.port_encoder(ctx, depth=2,
+                                                    num_heads=2)}
+        assert not ctx.unmapped()
+        return tree
+
+    ported = run_port(sd)
+    # id-trace with the same module port (export_checkpoint wires in
+    # port_checkpoint; exercise the underlying mechanism directly here).
+    id_sd, off = {}, 0
+    for k, v in sd.items():
+        size = int(np.prod(v.shape)) if v.shape else 1
+        id_sd[k] = np.arange(off, off + size, dtype=np.int64).reshape(v.shape)
+        off += size
+    id_tree = run_port(id_sd)
+    values = np.empty(off, np.float64)
+    for path_s, ids in port._flatten(id_tree):
+        leaf = _leaf(ported, tuple(path_s.split("/")))
+        values[np.asarray(ids, np.int64).ravel()] = \
+            np.asarray(leaf, np.float64).ravel()
+    o = 0
+    for k, v in sd.items():
+        size = int(np.prod(v.shape)) if v.shape else 1
+        np.testing.assert_array_equal(
+            values[o:o + size].reshape(v.shape).astype(v.dtype), v,
+            err_msg=k)
+        o += size
