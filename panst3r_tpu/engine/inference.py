@@ -286,15 +286,19 @@ class InferenceEngine:
         out["keyframes"] = select_keyframes_linspace(V, K)
         return out
 
-    def _make_fused(self, V: int, K: int):
+    def _make_fused(self, V: int, K: int, keyframe_mode: str = "linspace"):
+        """One-program pipeline.  keyframe_mode:
+        - "linspace": static uniform keyframes (compile-time constants);
+        - "retrieval": keyframes computed ON DEVICE inside the program
+          (pooled-cosine similarity + FPS + greedy ordering,
+          engine/retrieval.py::select_keyframes_retrieval_device) — the
+          serve-wire analog of the staged path's use_retrieval.
+        """
         model, grid, n_tokens = self.model, self.grid, self.n_tokens
         c = model.config
         amp = self.amp
         cast = lambda x: _image_cast(x, amp)  # noqa: E731
-        keyframes = select_keyframes_linspace(V, K)
-        not_keyframes = sorted(set(range(V)) - set(keyframes))
-        order = list(keyframes) + not_keyframes
-        inv = np.argsort(order)
+        retrieval = keyframe_mode == "retrieval"
         dtype = jnp.bfloat16 if self.amp else jnp.float32
 
         def pipeline(params, images, portrait, cls_emb):
@@ -305,15 +309,28 @@ class InferenceEngine:
             dino = model.apply(params, images[:, None],
                                method=PanSt3R.encode_dino)[:, 0]
 
-            kf = jnp.asarray(keyframes)
+            if retrieval:
+                from panst3r_tpu.engine.retrieval import \
+                    select_keyframes_retrieval_device
+
+                kf = select_keyframes_retrieval_device(x, K)
+                is_kf = jnp.zeros((V,), bool).at[kf].set(True)
+                nk = jnp.argsort(is_kf, stable=True)[:V - K]
+            else:
+                keyframes = select_keyframes_linspace(V, K)
+                kf = jnp.asarray(keyframes, jnp.int32)
+                nk = jnp.asarray(
+                    sorted(set(range(V)) - set(keyframes)), jnp.int32)
+
+            x_kf, pos_kf = x[kf], pos[kf]
             mem = memlib.init_memory(c.decoder.depth, 1, K * n_tokens,
                                      c.decoder.dim, dtype=dtype)
             start = 0
             for nb in c.mem_batches(K):
-                sel = jnp.asarray(keyframes[start:start + nb])
-                mem, _, _ = model.apply(params, x[sel][None],
-                                        pos[sel][None], mem, grid,
-                                        method=PanSt3R.decoder_update)
+                mem, _, _ = model.apply(
+                    params, x_kf[None, start:start + nb],
+                    pos_kf[None, start:start + nb], mem, grid,
+                    method=PanSt3R.decoder_update)
                 start += nb
 
             # Render ALL views against the frozen memory in one call.
@@ -322,14 +339,13 @@ class InferenceEngine:
             pm, y = pm[0], y[0]
 
             panout_kf = model.apply(
-                params, (x[kf][None], y[kf][None], dino[kf][None]),
-                images[kf][None], pos[kf][None], portrait[kf][None],
+                params, (x_kf[None], y[kf][None], dino[kf][None]),
+                images[kf][None], pos_kf[None], portrait[kf][None],
                 cls_emb, grid, deep_supervision=False,
                 method=PanSt3R.panoptic)
 
             masks = [panout_kf["pred_masks"][0]]
-            if not_keyframes:
-                nk = jnp.asarray(not_keyframes)
+            if V > K:
                 panout_nk = model.apply(
                     params, (x[nk][None], y[nk][None], dino[nk][None]),
                     images[nk][None], pos[nk][None], portrait[nk][None],
@@ -338,12 +354,13 @@ class InferenceEngine:
                     method=PanSt3R.panoptic)
                 masks.append(panout_nk["pred_masks"][0])
 
-            inv_d = jnp.asarray(inv)
+            inv_d = jnp.argsort(jnp.concatenate([kf, nk]))
             return {
                 "pointmaps_raw": pm,                  # already input order
                 "pred_logits": panout_kf["pred_logits"][0],
                 "pred_masks": jnp.concatenate(masks)[inv_d],
                 "out_queries": panout_kf["out_queries"][0],
+                "keyframes_dev": kf,
             }
 
         return jax.jit(pipeline)
@@ -481,10 +498,11 @@ class InferenceEngine:
     # one upload, one launch, and one download.
 
     def _make_serve(self, V: int, K: int, label_mode: str, niters: int,
-                    fusion_res: str, with_cameras: bool = False):
+                    fusion_res: str, with_cameras: bool = False,
+                    keyframe_mode: str = "linspace"):
         from panst3r_tpu.engine.fusion import _fusion_full
 
-        fused = self._make_fused(V, K)
+        fused = self._make_fused(V, K, keyframe_mode)
         H, W = self.bucket.shape
         Q = self.model.config.panoptic.mask_transformer.num_queries
 
@@ -513,6 +531,9 @@ class InferenceEngine:
                 labels[0].astype(wdtype),
                 selected[0].astype(wdtype),
             ]
+            if keyframe_mode == "retrieval":
+                # ship the on-device-selected keyframes (K ids)
+                parts.append(out["keyframes_dev"].astype(wdtype))
             if with_cameras:
                 # On-device camera recovery (Weiszfeld focal + weighted
                 # Procrustes, engine/pose.py) — (V,) focals + (V, 4, 4)
@@ -536,7 +557,8 @@ class InferenceEngine:
     def serve_device(self, images, portrait, cls_embeddings,
                      num_keyframes: Optional[int] = None,
                      label_mode: str = "sigmoid", niters: int = 2,
-                     fusion_res: str = "full", with_cameras: bool = False):
+                     fusion_res: str = "full", with_cameras: bool = False,
+                     keyframe_mode: str = "linspace"):
         """Whole scene → packed wire buffer, as ONE device program.
 
         Returns the device wire array; fetch with ``np.asarray`` and
@@ -547,11 +569,12 @@ class InferenceEngine:
         """
         V = images.shape[0]
         K = min(num_keyframes or self.num_keyframes, V)
-        key = (V, K, label_mode, niters, fusion_res, with_cameras)
+        key = (V, K, label_mode, niters, fusion_res, with_cameras,
+               keyframe_mode)
         if key not in self._serve_cache:
             self._serve_cache[key] = jax.jit(
                 self._make_serve(V, K, label_mode, niters, fusion_res,
-                                 with_cameras))
+                                 with_cameras, keyframe_mode))
         cls_emb = jnp.asarray(cls_embeddings)
         if self.amp:
             cls_emb = cls_emb.astype(jnp.bfloat16)
@@ -583,7 +606,8 @@ class InferenceEngine:
                                       jnp.asarray(portrait), cls_emb)
 
     def unpack_wire(self, wire: np.ndarray, V: int,
-                    with_cameras: bool = False) -> dict:
+                    with_cameras: bool = False,
+                    with_keyframes: int = 0) -> dict:
         """Decode a fetched serve_device buffer → {pan (V,H,W) int32,
         conf (V,H,W) f32 in [0,1], seg_ids/labels/selected (Q,)} (+
         {focals (V,), cam2world (V,4,4)} for ``with_cameras`` wires).
@@ -594,7 +618,7 @@ class InferenceEngine:
         H, W = self.bucket.shape
         Q = self.model.config.panoptic.mask_transformer.num_queries
         cam_tail = 4 * (V + V * 16) if with_cameras else 0
-        n = (wire.size - 3 * Q - cam_tail) // 2
+        n = (wire.size - 3 * Q - cam_tail - with_keyframes) // 2
         h, w = (H, W) if n == V * H * W else (H // 2, W // 2)
         assert n == V * h * w, f"wire size {wire.size} vs V={V} ({H},{W})"
         pan = wire[:n].astype(np.int32).reshape(V, h, w)
@@ -607,8 +631,13 @@ class InferenceEngine:
         selected = wire[2 * n + 2 * Q:2 * n + 3 * Q] != 0
         out = {"pan": pan, "conf": conf, "seg_ids": seg_ids,
                "labels": labels, "selected": selected}
+        tail = 2 * n + 3 * Q
+        if with_keyframes:
+            out["keyframes"] = wire[tail:tail + with_keyframes].astype(
+                np.int32)
+            tail += with_keyframes
         if with_cameras:
-            cam = (wire[2 * n + 3 * Q:].astype(np.uint8)
+            cam = (wire[tail:].astype(np.uint8)
                    .tobytes())
             cam = np.frombuffer(cam, np.float32)
             out["focals"] = cam[:V].copy()

@@ -95,6 +95,51 @@ def select_keyframes_retrieval(tokens, num_keyframes: int,
     return [anchor_idx[k] for k in order]
 
 
+def select_keyframes_retrieval_device(tokens: jnp.ndarray,
+                                      num_keyframes: int) -> jnp.ndarray:
+    """Traced (jit-safe) variant of ``select_keyframes_retrieval`` for the
+    one-program serve wire: pooled-cosine similarity + FPS + greedy
+    max-overlap ordering entirely on device; returns (K,) int32 indices.
+    Matches the host path exactly on non-degenerate descriptors (same
+    argmax-first tie-breaking; f32 vs the host's f64 only matters on exact
+    ties).  The trained ASMK head stays on the staged path (its inverted
+    file is host-side)."""
+    import jax
+
+    sim = view_similarity(tokens.astype(jnp.float32))        # (V, V)
+    K = num_keyframes
+    dist = 1.0 - sim
+
+    def fps_body(i, st):
+        sel, min_d = st
+        nxt = jnp.argmax(min_d).astype(jnp.int32)
+        sel = sel.at[i].set(nxt)
+        min_d = jnp.minimum(min_d, dist[nxt]).at[nxt].set(-1.0)
+        return sel, min_d
+
+    sel0 = jnp.zeros((K,), jnp.int32)                        # start = 0
+    min_d0 = dist[0].at[0].set(-1.0)
+    anchors, _ = jax.lax.fori_loop(1, K, fps_body, (sel0, min_d0))
+
+    sub = sim[anchors][:, anchors] * (1.0 - jnp.eye(K, dtype=sim.dtype))
+    first = jnp.argmax(sub.sum(-1)).astype(jnp.int32)
+
+    def greedy_body(i, st):
+        order, rowmax, chosen = st
+        nxt = jnp.argmax(jnp.where(chosen, -jnp.inf, rowmax)).astype(
+            jnp.int32)
+        order = order.at[i].set(nxt)
+        chosen = chosen.at[nxt].set(True)
+        rowmax = jnp.maximum(rowmax, sub[nxt])
+        return order, rowmax, chosen
+
+    order0 = jnp.zeros((K,), jnp.int32).at[0].set(first)
+    chosen0 = jnp.zeros((K,), bool).at[first].set(True)
+    order, _, _ = jax.lax.fori_loop(
+        1, K, greedy_body, (order0, sub[first], chosen0))
+    return anchors[order]
+
+
 @dataclasses.dataclass
 class RetrievalHead:
     """Trained retrieval projection (must3r RetrievalModel minus backbone).

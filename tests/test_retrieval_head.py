@@ -111,3 +111,19 @@ def test_select_keyframes_with_head_covers_clusters(rng):
     assert len(set(kf)) == 3
     clusters = {i // 2 for i in kf}
     assert clusters == {0, 1, 2}
+
+
+def test_device_keyframe_selection_matches_host(rng):
+    """Jittable serve-wire keyframe selection == the host numpy path."""
+    import jax
+    import jax.numpy as jnp
+
+    from panst3r_tpu.engine.retrieval import (
+        select_keyframes_retrieval, select_keyframes_retrieval_device)
+
+    for V, K in [(8, 4), (12, 6), (5, 5), (16, 3)]:
+        tokens = jnp.asarray(rng.standard_normal((V, 20, 16)), jnp.float32)
+        host = select_keyframes_retrieval(tokens, K)
+        dev = jax.jit(select_keyframes_retrieval_device,
+                      static_argnums=1)(tokens, K)
+        assert np.asarray(dev).tolist() == list(host), (V, K)

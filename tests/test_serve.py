@@ -85,6 +85,26 @@ def test_serve_wire_mask_res(rng):
     np.testing.assert_array_equal(dec["pan"], ref)
 
 
+def test_serve_wire_retrieval_keyframes(rng):
+    """keyframe_mode='retrieval' computes keyframes ON DEVICE inside the
+    one-program wire; result must match the staged pipeline with the host
+    retrieval selection, and the wire ships the chosen keyframes."""
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+    K = eng.num_keyframes
+
+    wire = np.asarray(eng.serve_device(images, portrait, cls_emb,
+                                       keyframe_mode="retrieval"))
+    dec = eng.unpack_wire(wire, V, with_keyframes=K)
+    assert len(dec["keyframes"]) == K
+    assert len(set(dec["keyframes"].tolist())) == K
+
+    out = eng.run_device(images, portrait, cls_emb, use_retrieval=True)
+    assert sorted(out["keyframes"]) == sorted(dec["keyframes"].tolist())
+    pan, *_ = eng.fuse_device(out, (H, W))
+    np.testing.assert_array_equal(dec["pan"], np.asarray(pan)[0])
+
+
 def test_serve_wire_uint16_path(rng):
     """ncls >= 255 forces the uint16 wire; pack/unpack must stay exact."""
     eng = _engine(rng)
