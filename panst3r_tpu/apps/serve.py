@@ -1,0 +1,161 @@
+"""Headless serving daemon: POST scenes, get panoptic results.
+
+Production-serving front for the one-program wire path
+(`InferenceEngine.serve_device`): a stdlib HTTP server that keeps the
+engine warm and turns each request into exactly one upload, one launch
+and one fetch on the chip.  The reference's only serving surface is the
+gradio demo (gradio_panst3r.py); this is the deployable equivalent.
+
+Protocol (all binary npz — no JSON image encoding overhead):
+
+  POST /reconstruct   body: npz{images (V,H,W,3) uint8 [, portrait (V,)]}
+                      query: ?cameras=1&keyframes=retrieval&fusion=mask
+  → 200, npz{pan (V,H,W) int32, conf (V,H,W) f32, seg_ids, labels,
+             selected [, focals, cam2world, keyframes]}
+
+  GET /healthz        → 200 "ok" once the engine is warm.
+
+Run:  python -m panst3r_tpu.apps.serve --preset tiny --port 8030
+      (real deployments: --preset v1 --checkpoint <orbax dir>)
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import http.server
+import io
+import threading
+
+import numpy as np
+
+
+class SceneServer:
+    """Engine wrapper: one serve call per request, thread-serialized
+    (the device is a serial resource; concurrent requests queue)."""
+
+    def __init__(self, engine, cls_emb: np.ndarray):
+        self.engine = engine
+        self.cls_emb = np.asarray(cls_emb)
+        self.lock = threading.Lock()
+
+    def reconstruct(self, images: np.ndarray, portrait: np.ndarray,
+                    with_cameras: bool = False,
+                    keyframe_mode: str = "linspace",
+                    fusion_res: str = "full") -> dict:
+        V = images.shape[0]
+        K = min(self.engine.num_keyframes, V)
+        with self.lock:
+            wire = np.asarray(self.engine.serve_device(
+                images, portrait, self.cls_emb, with_cameras=with_cameras,
+                keyframe_mode=keyframe_mode, fusion_res=fusion_res))
+        return self.engine.unpack_wire(
+            wire, V, with_cameras=with_cameras,
+            with_keyframes=K if keyframe_mode == "retrieval" else 0)
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    server_version = "panst3r_tpu-serve/1.0"
+
+    def __init__(self, *args, scene_server: SceneServer, **kw):
+        self.scene_server = scene_server
+        super().__init__(*args, **kw)
+
+    def log_message(self, *a):
+        pass
+
+    def _send(self, code: int, body: bytes,
+              ctype: str = "application/octet-stream"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path.startswith("/healthz"):
+            self._send(200, b"ok", "text/plain")
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def do_POST(self):
+        if not self.path.startswith("/reconstruct"):
+            self._send(404, b"not found", "text/plain")
+            return
+        try:
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            n = int(self.headers.get("Content-Length", 0))
+            data = np.load(io.BytesIO(self.rfile.read(n)))
+            images = data["images"]
+            portrait = (data["portrait"] if "portrait" in data
+                        else np.zeros(images.shape[0], bool))
+            out = self.scene_server.reconstruct(
+                images, portrait,
+                with_cameras=q.get("cameras", ["0"])[0] == "1",
+                keyframe_mode=q.get("keyframes", ["linspace"])[0],
+                fusion_res=q.get("fusion", ["full"])[0])
+            buf = io.BytesIO()
+            np.savez_compressed(buf, **{k: v for k, v in out.items()
+                                        if v is not None})
+            self._send(200, buf.getvalue())
+        except Exception as e:  # client gets the reason, server stays up
+            self._send(400, f"error: {e}".encode(), "text/plain")
+
+
+def make_server(scene_server: SceneServer, host: str, port: int):
+    handler = functools.partial(_Handler, scene_server=scene_server)
+    return http.server.ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from panst3r_tpu.core.bucketing import Bucket
+    from panst3r_tpu.engine.inference import InferenceEngine
+    from panst3r_tpu.models.panst3r import PanSt3R
+    from panst3r_tpu.models.presets import (panst3r_v1_config,
+                                            panst3r_v2_config, tiny_config)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="v1",
+                    choices=["v1", "v2", "tiny"])
+    ap.add_argument("--checkpoint", default=None, help="orbax dir")
+    ap.add_argument("--bucket", default="512x384",
+                    help="WxH serving resolution bucket")
+    ap.add_argument("--num-keyframes", type=int, default=4)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8030)
+    args = ap.parse_args(argv)
+
+    W, H = (int(x) for x in args.bucket.split("x"))
+    cfg = {"v1": panst3r_v1_config, "v2": panst3r_v2_config,
+           "tiny": tiny_config}[args.preset]()
+    model = PanSt3R(cfg)
+    lang_dim = cfg.panoptic.mask_transformer.lang_dim
+    rng = np.random.default_rng(0)
+    cls_emb = rng.standard_normal((32, lang_dim)).astype(np.float32)
+    params = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, H, W, 3), jnp.float32),
+        jnp.zeros((1, 2), bool), jnp.asarray(cls_emb), (H // 16, W // 16))
+    if args.checkpoint:
+        from pathlib import Path
+
+        from panst3r_tpu.core.checkpoint import load_checkpoint
+
+        params, _, meta = load_checkpoint(
+            Path(args.checkpoint).parent, Path(args.checkpoint).name,
+            jax.tree_util.tree_map(np.asarray, params))
+        if "cls_emb" in meta:
+            cls_emb = np.asarray(meta["cls_emb"])
+
+    engine = InferenceEngine(model, params, Bucket(H, W),
+                             num_keyframes=args.num_keyframes, amp=True)
+    srv = make_server(SceneServer(engine, cls_emb), args.host, args.port)
+    print(f"serving at http://{args.host}:{args.port}/reconstruct")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -80,3 +80,57 @@ def test_eval_driver_on_synthetic(tmp_path, rng):
     s = summarize(per_class)
     assert set(s) >= {"PQ", "SQ", "RQ"}
     assert 0.0 <= s["PQ"] <= 100.0
+
+
+def test_serving_daemon_end_to_end(rng):
+    """POST a scene to the serving daemon; response equals the direct
+    serve_device + unpack path."""
+    import io
+    import threading
+    import urllib.request
+
+    from panst3r_tpu.apps.serve import SceneServer, make_server
+    from tests.test_serve import _engine as _serve_engine
+    from tests.test_serve import _scene as _serve_scene
+    from tests.test_serve import H as SH, V as SV, W as SW
+
+    eng = _serve_engine(rng)
+    images, portrait, cls_emb = _serve_scene(rng)
+    srv = make_server(SceneServer(eng, cls_emb), "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.read() == b"ok"
+
+        buf = io.BytesIO()
+        np.savez(buf, images=images, portrait=portrait)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reconstruct?cameras=1",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = np.load(io.BytesIO(r.read()))
+
+        ref = eng.unpack_wire(np.asarray(eng.serve_device(
+            images, portrait, cls_emb, with_cameras=True)), SV,
+            with_cameras=True)
+        assert out["pan"].shape == (SV, SH, SW)
+        np.testing.assert_array_equal(out["pan"], ref["pan"])
+        np.testing.assert_allclose(out["cam2world"], ref["cam2world"])
+
+        # malformed request → 400, server stays up
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reconstruct", data=b"junk",
+            method="POST")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.read() == b"ok"
+    finally:
+        srv.shutdown()
