@@ -15,6 +15,15 @@ Protocol (all binary npz — no JSON image encoding overhead):
 
   GET /healthz        → 200 "ok" once the engine is warm.
 
+Streaming SLAM session (engine/slam.py IncrementalFrontend over HTTP —
+O(1) per-frame decode against the growing keyframe memory):
+
+  POST /slam/start    query: ?sim_threshold=0.9&max_interval=5
+  POST /slam/frame    body: npz{image (H,W,3) uint8}
+                      → npz{is_keyframe [, pts3d, pts3d_local, conf] f16}
+  POST /slam/finish   → npz{poses (N,4,4), poses_init, keyframe_ids}
+                        (pose-graph GN refinement) and ends the session.
+
 Run:  python -m panst3r_tpu.apps.serve --preset tiny --port 8030
       (real deployments: --preset v1 --checkpoint <orbax dir>)
 """
@@ -52,6 +61,55 @@ class SceneServer:
             wire, V, with_cameras=with_cameras,
             with_keyframes=K if keyframe_mode == "retrieval" else 0)
 
+    # ------------------------------------------------- streaming SLAM ----
+
+    def slam_start(self, sim_threshold: float = 0.9, max_interval: int = 5):
+        from panst3r_tpu.engine.slam import IncrementalFrontend
+
+        with self.lock:
+            self._slam = IncrementalFrontend(
+                self.engine, sim_threshold=sim_threshold,
+                max_interval=max_interval)
+            self._slam_maps = []
+            self._slam_kf = []
+            self._slam_n = 0
+
+    def slam_frame(self, image: np.ndarray) -> dict:
+        from panst3r_tpu.models.decoder import postprocess
+
+        with self.lock:
+            if getattr(self, "_slam", None) is None:
+                raise ValueError("no SLAM session (POST /slam/start first)")
+            fid = self._slam_n
+            self._slam_n += 1
+            out = self._slam.process(image, fid)
+            res = {"is_keyframe": np.asarray(out["is_keyframe"])}
+            if out["pointmaps_raw"] is not None:
+                post = postprocess(np.asarray(out["pointmaps_raw"],
+                                              np.float32))
+                post = {k: np.asarray(v) for k, v in post.items()}
+                self._slam_maps.append(post)
+                if out["is_keyframe"]:
+                    self._slam_kf.append(fid)
+                for k, v in post.items():
+                    res[k] = v.astype(np.float16)
+            return res
+
+    def slam_finish(self) -> dict:
+        from panst3r_tpu.engine.slam import refine_scene_poses
+
+        with self.lock:
+            if getattr(self, "_slam", None) is None:
+                raise ValueError("no SLAM session")
+            maps = {k: np.stack([m[k] for m in self._slam_maps])
+                    for k in self._slam_maps[0]}
+            refined, init, _ = refine_scene_poses(maps)
+            out = {"poses": np.asarray(refined),
+                   "poses_init": np.asarray(init),
+                   "keyframe_ids": np.asarray(self._slam_kf, np.int32)}
+            self._slam = None
+            return out
+
 
 class _Handler(http.server.BaseHTTPRequestHandler):
     server_version = "panst3r_tpu-serve/1.0"
@@ -78,23 +136,38 @@ class _Handler(http.server.BaseHTTPRequestHandler):
             self._send(404, b"not found", "text/plain")
 
     def do_POST(self):
-        if not self.path.startswith("/reconstruct"):
-            self._send(404, b"not found", "text/plain")
-            return
         try:
             from urllib.parse import parse_qs, urlparse
 
+            path = urlparse(self.path).path
             q = parse_qs(urlparse(self.path).query)
             n = int(self.headers.get("Content-Length", 0))
-            data = np.load(io.BytesIO(self.rfile.read(n)))
-            images = data["images"]
-            portrait = (data["portrait"] if "portrait" in data
-                        else np.zeros(images.shape[0], bool))
-            out = self.scene_server.reconstruct(
-                images, portrait,
-                with_cameras=q.get("cameras", ["0"])[0] == "1",
-                keyframe_mode=q.get("keyframes", ["linspace"])[0],
-                fusion_res=q.get("fusion", ["full"])[0])
+            body = self.rfile.read(n)
+            if path == "/reconstruct":
+                data = np.load(io.BytesIO(body))
+                images = data["images"]
+                portrait = (data["portrait"] if "portrait" in data
+                            else np.zeros(images.shape[0], bool))
+                out = self.scene_server.reconstruct(
+                    images, portrait,
+                    with_cameras=q.get("cameras", ["0"])[0] == "1",
+                    keyframe_mode=q.get("keyframes", ["linspace"])[0],
+                    fusion_res=q.get("fusion", ["full"])[0])
+            elif path == "/slam/start":
+                self.scene_server.slam_start(
+                    sim_threshold=float(
+                        q.get("sim_threshold", ["0.9"])[0]),
+                    max_interval=int(q.get("max_interval", ["5"])[0]))
+                self._send(200, b"ok", "text/plain")
+                return
+            elif path == "/slam/frame":
+                data = np.load(io.BytesIO(body))
+                out = self.scene_server.slam_frame(data["image"])
+            elif path == "/slam/finish":
+                out = self.scene_server.slam_finish()
+            else:
+                self._send(404, b"not found", "text/plain")
+                return
             buf = io.BytesIO()
             np.savez_compressed(buf, **{k: v for k, v in out.items()
                                         if v is not None})

@@ -134,3 +134,49 @@ def test_serving_daemon_end_to_end(rng):
             assert r.read() == b"ok"
     finally:
         srv.shutdown()
+
+
+def test_serving_daemon_slam_stream(rng):
+    """Stream frames through the daemon SLAM endpoints; keyframes promote,
+    pointmaps return per frame, finish yields refined poses."""
+    import io
+    import threading
+    import urllib.request
+
+    from panst3r_tpu.apps.serve import SceneServer, make_server
+    from tests.test_serve import _engine as _serve_engine
+    from tests.test_serve import H as SH, W as SW
+
+    eng = _serve_engine(rng)
+    srv = make_server(SceneServer(eng, np.zeros((6, 24), np.float32)),
+                      "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def post(path, **arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays) if arrays else None
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=buf.getvalue() if arrays else b"", method="POST")
+        with urllib.request.urlopen(req) as r:
+            body = r.read()
+        return np.load(io.BytesIO(body)) if body[:2] == b"PK" else body
+
+    try:
+        assert post("/slam/start?max_interval=2") == b"ok"
+        n_kf = 0
+        for i in range(5):
+            img = (rng.random((SH, SW, 3)) * 2 - 1).astype(np.float32)
+            out = post("/slam/frame", image=img)
+            n_kf += int(out["is_keyframe"])
+            if "pts3d" in out:
+                assert out["pts3d"].shape == (SH, SW, 3)
+        assert n_kf >= 2
+        fin = post("/slam/finish")
+        n_maps = 4  # frames 1..4 return pointmaps (frame 0 bootstraps)
+        assert fin["poses"].shape == (n_maps, 4, 4)
+        np.testing.assert_allclose(fin["poses"][:, 3], [[0, 0, 0, 1]] * n_maps,
+                                   atol=1e-6)
+    finally:
+        srv.shutdown()
