@@ -231,6 +231,10 @@ def main(argv=None):
         params = tree
         if "classes" in meta:
             classes = meta["classes"]
+        if "cls_emb" in meta:
+            # Trained weights must pair with the SAME text-embedding table
+            # they were trained against (saved by apps/train.py).
+            cls_emb = np.asarray(meta["cls_emb"], np.float32)
 
     engine = InferenceEngine(model, params, bucket,
                              num_keyframes=args.num_keyframes, amp=True)

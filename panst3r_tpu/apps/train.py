@@ -231,7 +231,10 @@ def main(argv=None):
                             if isinstance(v, (int, float))}, epoch)
             stats = {**stats, **{f"eval_{k}": v for k, v in pq.items()}}
 
-        meta = {"epoch": epoch, "stats": stats, "classes": classes}
+        meta = {"epoch": epoch, "stats": stats, "classes": classes,
+                # class-embedding table: serving (apps/demo, apps/serve)
+                # must pair trained weights with the SAME text embeddings
+                "cls_emb": np.asarray(cls_emb, np.float32).tolist()}
         host_state = jax.tree_util.tree_map(np.asarray, state)
         save_checkpoint(out_dir, "last", host_state, model.config, meta)
         if exp.keep_freq and epoch % exp.keep_freq == 0:
@@ -246,8 +249,9 @@ def main(argv=None):
     # final checkpoint without optimizer state (reference io.py:44-57)
     save_checkpoint(out_dir, "final",
                     jax.tree_util.tree_map(np.asarray, state.params),
-                    model.config, {"epoch": exp.train.epochs,
-                                   "classes": classes})
+                    model.config,
+                    {"epoch": exp.train.epochs, "classes": classes,
+                     "cls_emb": np.asarray(cls_emb, np.float32).tolist()})
 
 
 if __name__ == "__main__":

@@ -55,3 +55,7 @@ def test_train_cli_end_to_end(tmp_path, rng):
     train_app.main(["--config", str(cfg_path), "--epochs", "3"])
     meta = json.loads((out_dir / "last" / "meta.json").read_text())
     assert meta["epoch"] == 2
+    # serving must get the exact class-embedding table training used
+    import numpy as _np
+    emb = _np.asarray(meta["cls_emb"], _np.float32)
+    assert emb.shape[0] == len(meta["classes"])
