@@ -184,19 +184,12 @@ def export_scene(out_dir: str | Path, images: np.ndarray, scene: dict,
 
 
 def main(argv=None):
-    import jax
-    import jax.numpy as jnp
-
-    from panst3r_tpu.core.bucketing import Bucket
-    from panst3r_tpu.engine.inference import InferenceEngine
-    from panst3r_tpu.models.panst3r import PanSt3R
-    from panst3r_tpu.models.presets import panst3r_v1_config, tiny_config
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True,
                     help="directory of images or file list")
     ap.add_argument("--out", default="./demo_out")
-    ap.add_argument("--preset", default="v1", choices=["v1", "tiny"])
+    ap.add_argument("--preset", default="v1",
+                    choices=["v1", "v2", "tiny", "tiny_v2"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--num-keyframes", type=int, default=16)
     ap.add_argument("--fusion", default="standard_v2",
@@ -209,35 +202,11 @@ def main(argv=None):
         if p.is_dir() else [s for s in p.read_text().splitlines() if s]
     images, portrait, bucket = load_images(paths)
 
-    classes = SCANNET_CLASSES
-    cfg = {"v1": panst3r_v1_config, "tiny": tiny_config}[args.preset]()
-    model = PanSt3R(cfg)
-    lang_dim = cfg.panoptic.mask_transformer.lang_dim
-    rng = np.random.default_rng(0)
-    cls_emb = rng.standard_normal((len(classes), lang_dim)).astype(np.float32)
-    cls_emb /= np.linalg.norm(cls_emb, axis=-1, keepdims=True)
+    from panst3r_tpu.apps.common import build_engine
 
-    grid = bucket.grid(16)
-    params = jax.jit(model.init, static_argnums=(4,))(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 2, bucket.height, bucket.width, 3), jnp.float32),
-        jnp.zeros((1, 2), bool), jnp.asarray(cls_emb), grid)
-    if args.checkpoint:
-        from panst3r_tpu.core.checkpoint import load_checkpoint
-
-        tree, _, meta = load_checkpoint(
-            Path(args.checkpoint).parent, Path(args.checkpoint).name,
-            jax.tree_util.tree_map(np.asarray, params))
-        params = tree
-        if "classes" in meta:
-            classes = meta["classes"]
-        if "cls_emb" in meta:
-            # Trained weights must pair with the SAME text-embedding table
-            # they were trained against (saved by apps/train.py).
-            cls_emb = np.asarray(meta["cls_emb"], np.float32)
-
-    engine = InferenceEngine(model, params, bucket,
-                             num_keyframes=args.num_keyframes, amp=True)
+    engine, classes, cls_emb = build_engine(
+        args.preset, bucket, checkpoint=args.checkpoint,
+        num_keyframes=args.num_keyframes, classes=SCANNET_CLASSES)
     scene = reconstruct_scene(engine, images, portrait, classes, cls_emb,
                               fusion=args.fusion,
                               num_keyframes=args.num_keyframes)

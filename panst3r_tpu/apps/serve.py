@@ -21,8 +21,10 @@ O(1) per-frame decode against the growing keyframe memory):
   POST /slam/start    query: ?sim_threshold=0.9&max_interval=5
   POST /slam/frame    body: npz{image (H,W,3) uint8}
                       → npz{is_keyframe [, pts3d, pts3d_local, conf] f16}
-  POST /slam/finish   → npz{poses (N,4,4), poses_init, keyframe_ids}
-                        (pose-graph GN refinement) and ends the session.
+  POST /slam/finish   → npz{poses (N,4,4), poses_init, frame_ids,
+                        keyframe_ids} (pose-graph GN refinement; frame 0
+                        is re-rendered against the final memory like the
+                        CLI, apps/slam.py:40-46) and ends the session.
 
 Run:  python -m panst3r_tpu.apps.serve --preset tiny --port 8030
       (real deployments: --preset v1 --checkpoint <orbax dir>)
@@ -70,9 +72,10 @@ class SceneServer:
             self._slam = IncrementalFrontend(
                 self.engine, sim_threshold=sim_threshold,
                 max_interval=max_interval)
-            self._slam_maps = []
+            self._slam_maps = {}                  # frame id -> pointmaps
             self._slam_kf = []
             self._slam_n = 0
+            self._slam_frame0 = None
 
     def slam_frame(self, image: np.ndarray) -> dict:
         from panst3r_tpu.models.decoder import postprocess
@@ -84,31 +87,54 @@ class SceneServer:
             self._slam_n += 1
             out = self._slam.process(image, fid)
             res = {"is_keyframe": np.asarray(out["is_keyframe"])}
+            if out["is_keyframe"]:
+                self._slam_kf.append(fid)
             if out["pointmaps_raw"] is not None:
                 post = postprocess(np.asarray(out["pointmaps_raw"],
                                               np.float32))
                 post = {k: np.asarray(v) for k, v in post.items()}
-                self._slam_maps.append(post)
-                if out["is_keyframe"]:
-                    self._slam_kf.append(fid)
+                self._slam_maps[fid] = post
                 for k, v in post.items():
                     res[k] = v.astype(np.float16)
+            else:
+                # bootstrap frame: rendered at /slam/finish against the
+                # final memory (same as the CLI, apps/slam.py:40-46)
+                self._slam_frame0 = np.asarray(image)
             return res
 
     def slam_finish(self) -> dict:
         from panst3r_tpu.engine.slam import refine_scene_poses
+        from panst3r_tpu.models.decoder import postprocess
 
         with self.lock:
             if getattr(self, "_slam", None) is None:
                 raise ValueError("no SLAM session")
-            maps = {k: np.stack([m[k] for m in self._slam_maps])
-                    for k in self._slam_maps[0]}
-            refined, init, _ = refine_scene_poses(maps)
-            out = {"poses": np.asarray(refined),
-                   "poses_init": np.asarray(init),
-                   "keyframe_ids": np.asarray(self._slam_kf, np.int32)}
-            self._slam = None
-            return out
+            try:
+                eng = self.engine
+                if (self._slam_frame0 is not None
+                        and self._slam.state is not None
+                        and self._slam.state.mem is not None):
+                    x, pos = eng._encode_all(self._slam_frame0[None])
+                    pm, _ = eng._render(eng.params, x[None], pos[None],
+                                        self._slam.state.mem)
+                    post = postprocess(np.asarray(pm[0, 0], np.float32))
+                    self._slam_maps[0] = {k: np.asarray(v)
+                                          for k, v in post.items()}
+                if not self._slam_maps:
+                    raise ValueError(
+                        "SLAM session has no decodable frames yet "
+                        "(need >= 2 frames)")
+                order = sorted(self._slam_maps)
+                maps = {k: np.stack([self._slam_maps[i][k] for i in order])
+                        for k in self._slam_maps[order[0]]}
+                refined, init, _ = refine_scene_poses(maps)
+                return {"poses": np.asarray(refined),
+                        "poses_init": np.asarray(init),
+                        "frame_ids": np.asarray(order, np.int32),
+                        "keyframe_ids": np.asarray(self._slam_kf,
+                                                   np.int32)}
+            finally:
+                self._slam = None
 
 
 class _Handler(http.server.BaseHTTPRequestHandler):
@@ -182,14 +208,8 @@ def make_server(scene_server: SceneServer, host: str, port: int):
 
 
 def main(argv=None):
-    import jax
-    import jax.numpy as jnp
-
+    from panst3r_tpu.apps.common import build_engine
     from panst3r_tpu.core.bucketing import Bucket
-    from panst3r_tpu.engine.inference import InferenceEngine
-    from panst3r_tpu.models.panst3r import PanSt3R
-    from panst3r_tpu.models.presets import (panst3r_v1_config,
-                                            panst3r_v2_config, tiny_config)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="v1",
@@ -200,31 +220,23 @@ def main(argv=None):
     ap.add_argument("--num-keyframes", type=int, default=4)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8030)
+    ap.add_argument("--warm", type=int, default=0, metavar="V",
+                    help="compile the V-view serve program before "
+                         "accepting traffic (readiness probes on /healthz "
+                         "then mean 'first request is fast')")
     args = ap.parse_args(argv)
 
     W, H = (int(x) for x in args.bucket.split("x"))
-    cfg = {"v1": panst3r_v1_config, "v2": panst3r_v2_config,
-           "tiny": tiny_config}[args.preset]()
-    model = PanSt3R(cfg)
-    lang_dim = cfg.panoptic.mask_transformer.lang_dim
-    rng = np.random.default_rng(0)
-    cls_emb = rng.standard_normal((32, lang_dim)).astype(np.float32)
-    params = jax.jit(model.init, static_argnums=(4,))(
-        jax.random.PRNGKey(0), jnp.zeros((1, 2, H, W, 3), jnp.float32),
-        jnp.zeros((1, 2), bool), jnp.asarray(cls_emb), (H // 16, W // 16))
-    if args.checkpoint:
-        from pathlib import Path
+    engine, _, cls_emb = build_engine(
+        args.preset, Bucket(H, W), checkpoint=args.checkpoint,
+        num_keyframes=args.num_keyframes)
+    if args.warm:
+        import numpy as _np
 
-        from panst3r_tpu.core.checkpoint import load_checkpoint
-
-        params, _, meta = load_checkpoint(
-            Path(args.checkpoint).parent, Path(args.checkpoint).name,
-            jax.tree_util.tree_map(np.asarray, params))
-        if "cls_emb" in meta:
-            cls_emb = np.asarray(meta["cls_emb"])
-
-    engine = InferenceEngine(model, params, Bucket(H, W),
-                             num_keyframes=args.num_keyframes, amp=True)
+        print(f"warming the {args.warm}-view serve program…")
+        np.asarray(engine.serve_device(
+            _np.zeros((args.warm, H, W, 3), _np.uint8),
+            _np.zeros(args.warm, bool), cls_emb))
     srv = make_server(SceneServer(engine, cls_emb), args.host, args.port)
     print(f"serving at http://{args.host}:{args.port}/reconstruct")
     srv.serve_forever()

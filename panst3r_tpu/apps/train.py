@@ -234,7 +234,7 @@ def main(argv=None):
         meta = {"epoch": epoch, "stats": stats, "classes": classes,
                 # class-embedding table: serving (apps/demo, apps/serve)
                 # must pair trained weights with the SAME text embeddings
-                "cls_emb": np.asarray(cls_emb, np.float32).tolist()}
+                "cls_emb": np.asarray(cls_emb, np.float32)}
         host_state = jax.tree_util.tree_map(np.asarray, state)
         save_checkpoint(out_dir, "last", host_state, model.config, meta)
         if exp.keep_freq and epoch % exp.keep_freq == 0:
@@ -251,7 +251,7 @@ def main(argv=None):
                     jax.tree_util.tree_map(np.asarray, state.params),
                     model.config,
                     {"epoch": exp.train.epochs, "classes": classes,
-                     "cls_emb": np.asarray(cls_emb, np.float32).tolist()})
+                     "cls_emb": np.asarray(cls_emb, np.float32)})
 
 
 if __name__ == "__main__":

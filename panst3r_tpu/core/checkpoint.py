@@ -34,7 +34,16 @@ def save_checkpoint(directory: str | Path, name: str, tree: Any,
         (path / "config.json").write_text(
             json.dumps(cfg.to_dict(model_config), indent=2))
     if meta is not None:
-        (path / "meta.json").write_text(json.dumps(meta, indent=2))
+        # Array-valued meta entries (e.g. the class-embedding table) go to
+        # a sidecar npz — multi-MB JSON otherwise, rewritten every epoch.
+        import numpy as np
+
+        arrays = {k: np.asarray(v) for k, v in meta.items()
+                  if isinstance(v, np.ndarray)}
+        scalars = {k: v for k, v in meta.items() if k not in arrays}
+        if arrays:
+            np.savez(path / "meta_arrays.npz", **arrays)
+        (path / "meta.json").write_text(json.dumps(scalars, indent=2))
 
 
 def load_checkpoint(directory: str | Path, name: str,
@@ -49,6 +58,12 @@ def load_checkpoint(directory: str | Path, name: str,
         model_config = cfg.from_dict(json.loads(cfg_file.read_text()))
     meta_file = path / "meta.json"
     meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    arr_file = path / "meta_arrays.npz"
+    if arr_file.exists():
+        import numpy as np
+
+        with np.load(arr_file) as z:
+            meta.update({k: z[k] for k in z.files})
     return tree, model_config, meta
 
 

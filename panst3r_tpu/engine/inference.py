@@ -509,7 +509,11 @@ class InferenceEngine:
         def serve(params, images, portrait, cls_emb):
             out = fused(params, images, portrait, cls_emb)
             ncls = cls_emb.shape[0]
-            wdtype = (jnp.uint8 if Q < 255 and ncls < 255 else jnp.uint16)
+            # uint8 wire only when every id fits a byte — incl. view
+            # indices when retrieval keyframes ride the wire.
+            kf_max = V if keyframe_mode == "retrieval" else 0
+            wdtype = (jnp.uint8 if Q < 255 and ncls < 255 and kf_max <= 255
+                      else jnp.uint16)
             # fusion_res="mask": fuse at the prediction-mask resolution
             # (stride 2) and ship half-res maps — ~4x less fusion HBM
             # traffic and 4x smaller wire; the host nearest-upsamples the

@@ -79,6 +79,10 @@ def lap_jv(cost: np.ndarray) -> Optional[tuple]:
     if lib is None:
         return None
     cost = np.ascontiguousarray(cost, np.float64)
+    if np.isnan(cost).any():
+        # scipy surface parity: NaN entries are an error (inf = forbidden
+        # assignment is allowed and may make the problem infeasible).
+        raise ValueError("matrix contains invalid numeric entries")
     R, C = cost.shape
     transpose = R > C
     if transpose:

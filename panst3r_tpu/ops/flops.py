@@ -79,6 +79,11 @@ def jaxpr_matmul_flops(jaxpr) -> float:
 
 
 def fn_matmul_flops(fn, *args: Any, **kwargs: Any) -> float:
-    """Matmul/conv FLOPs of `fn(*args)` (args may be ShapeDtypeStructs)."""
-    jaxpr = jax.make_jaxpr(fn, **kwargs)(*args)
+    """Matmul/conv FLOPs of `fn(*args, **kwargs)` (args may be
+    ShapeDtypeStructs)."""
+    import functools
+
+    if kwargs:
+        fn = functools.partial(fn, **kwargs)
+    jaxpr = jax.make_jaxpr(fn)(*args)
     return jaxpr_matmul_flops(jaxpr.jaxpr)

@@ -174,9 +174,19 @@ def test_serving_daemon_slam_stream(rng):
                 assert out["pts3d"].shape == (SH, SW, 3)
         assert n_kf >= 2
         fin = post("/slam/finish")
-        n_maps = 4  # frames 1..4 return pointmaps (frame 0 bootstraps)
-        assert fin["poses"].shape == (n_maps, 4, 4)
-        np.testing.assert_allclose(fin["poses"][:, 3], [[0, 0, 0, 1]] * n_maps,
+        # all 5 frames get poses: frame 0 (bootstrap) is re-rendered
+        # against the final memory at finish, like the CLI path
+        assert fin["poses"].shape == (5, 4, 4)
+        assert fin["frame_ids"].tolist() == [0, 1, 2, 3, 4]
+        assert fin["keyframe_ids"][0] == 0
+        np.testing.assert_allclose(fin["poses"][:, 3], [[0, 0, 0, 1]] * 5,
                                    atol=1e-6)
+        # finishing again without a session → 400
+        import urllib.error
+        try:
+            post("/slam/finish")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         srv.shutdown()

@@ -56,6 +56,9 @@ def test_train_cli_end_to_end(tmp_path, rng):
     meta = json.loads((out_dir / "last" / "meta.json").read_text())
     assert meta["epoch"] == 2
     # serving must get the exact class-embedding table training used
+    # (array meta rides a sidecar npz merged back by load_checkpoint)
     import numpy as _np
-    emb = _np.asarray(meta["cls_emb"], _np.float32)
+    from panst3r_tpu.core.checkpoint import load_checkpoint as _load
+    _, _, full_meta = _load(out_dir, "last")
+    emb = _np.asarray(full_meta["cls_emb"], _np.float32)
     assert emb.shape[0] == len(meta["classes"])
