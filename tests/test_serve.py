@@ -105,6 +105,26 @@ def test_serve_wire_retrieval_keyframes(rng):
     np.testing.assert_array_equal(dec["pan"], np.asarray(pan)[0])
 
 
+def test_serve_wire_all_options_combined(rng):
+    """retrieval keyframes + cameras + half-res fusion in ONE wire: the
+    tail sections must decode in the documented order."""
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+    K = eng.num_keyframes
+
+    wire = np.asarray(eng.serve_device(
+        images, portrait, cls_emb, keyframe_mode="retrieval",
+        with_cameras=True, fusion_res="mask"))
+    dec = eng.unpack_wire(wire, V, with_cameras=True, with_keyframes=K)
+    assert dec["pan"].shape == (V, H, W)
+    assert sorted(dec["keyframes"].tolist()) == sorted(
+        set(dec["keyframes"].tolist()))
+    assert dec["keyframes"].max() < V
+    assert dec["focals"].shape == (V,)
+    assert np.isfinite(dec["cam2world"]).all()
+    np.testing.assert_allclose(dec["cam2world"][:, 3], [[0, 0, 0, 1]] * V)
+
+
 def test_serve_wire_uint16_path(rng):
     """ncls >= 255 forces the uint16 wire; pack/unpack must stay exact."""
     eng = _engine(rng)
