@@ -58,13 +58,16 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     The Pallas path never materializes the (Nq, Nk) logits in HBM — this is
     the TPU equivalent of the cuRoPE+xFormers fused path in the reference.
 
-    Exception: short unmasked head-dim-≤64 self-attention (the DINO tower
-    shape) runs the XLA-native path — measured faster than the kernel
-    there (the lane padding 64→128 wastes half the MXU either way, and at
-    Nk ≤ 1k the materialized logits are cheap; PERFORMANCE.md round 2).
+    Exception: tiny shapes (Nq < 256 — e.g. the mask transformer's
+    200-query self-attention) run the XLA-native path, where the
+    materialized logits are cheap and kernel grid overhead is not.  The
+    tower shapes (Nq = Nk = 768, D = 64) go to the kernel: with grouped
+    (batch·head) blocks and an unpadded head dim it measures 0.25 ms/layer
+    vs 0.65 for XLA-native, which streams ~300 MB of f32 logits through
+    HBM per ViT-L layer (PERFORMANCE.md round 2c).
     """
-    if bias is None and mask is None and q.shape[-1] <= 64 \
-            and k.shape[2] <= 1024:
+    if q.shape[2] < 256 and k.shape[2] <= 1024 and bias is None \
+            and mask is None:
         return dot_product_attention(q, k, v, scale=scale)
     if _use_pallas():
         from panst3r_tpu.ops.pallas.flash_attention import pallas_mha
@@ -83,15 +86,15 @@ def flash_attention_rope2d(q, k, v, qpos=None, kpos=None, bias=None,
     Elsewhere: jnp rotation + reference attention.  Positions may be None
     on either side (e.g. memory keys already carry positions, queries not).
 
-    Exception (same as flash_attention): short unmasked head-dim-≤64
-    attention — the ViT-L encoder's per-view 768-token self-attention —
-    runs jnp RoPE + the XLA-native path: A/B on chip measured
-    0.90 ms/layer vs 1.34 ms for the fused kernel at (8, 16, 768, 64)
-    bf16 (the 64→128 lane padding costs more than the extra RoPE HBM
-    traffic; PERFORMANCE.md round 2).
+    Exception (same as flash_attention): tiny Nq runs jnp RoPE + the
+    XLA-native path.  The ViT-L encoder's 8-view (8, 16, 768, 64) shape
+    goes to the fused kernel: grouped (batch·head) blocks + unpadded head
+    dim measure 0.25 ms/layer vs 0.63 for jnp-RoPE + XLA-native
+    (PERFORMANCE.md round 2c; round 2's opposite routing predates the
+    grouped blocks).
     """
-    if bias is None and mask is None and q.shape[-1] <= 64 \
-            and k.shape[2] <= 1024:
+    if q.shape[2] < 256 and k.shape[2] <= 1024 and bias is None \
+            and mask is None:
         from panst3r_tpu.ops.rope import apply_rope_2d
 
         if qpos is not None:

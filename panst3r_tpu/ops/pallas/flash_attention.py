@@ -20,7 +20,6 @@ a dedicated backward kernel is a planned optimization.
 from __future__ import annotations
 
 import functools
-import math
 import os
 
 import jax
@@ -43,42 +42,35 @@ def _rot2d(x, d: int):
     come out zero — harmless since padded sin is zero anyway."""
     qd = d // 4
     rot = jnp.concatenate(
-        [-x[:, qd:2 * qd], x[:, :qd], -x[:, 3 * qd:d], x[:, 2 * qd:3 * qd]],
-        axis=-1)
+        [-x[..., qd:2 * qd], x[..., :qd],
+         -x[..., 3 * qd:d], x[..., 2 * qd:3 * qd]], axis=-1)
     pad = x.shape[-1] - d
     if pad:
         rot = jnp.concatenate(
-            [rot, jnp.zeros((x.shape[0], pad), x.dtype)], axis=-1)
+            [rot, jnp.zeros((*x.shape[:-1], pad), x.dtype)], axis=-1)
     return rot
 
 
-def _rope_tables_block(ypos, xpos, d: int, dp: int, base: float):
-    """cos/sin tables for one block, computed in-registers from integer
-    (y, x) positions — the table form (rope2d_tables) streamed ~0.5 GB of
-    f32 tables per layer through HBM on the flagship render pass; two
-    (block,) position rows + a few VPU transcendentals replace it.
-
-    ypos/xpos: (block,) f32.  Layout matches rope2d_tables: lanes [0, d/2)
-    rotate by y, [d/2, d) by x; within each half the d/4 frequencies
-    repeat twice (NeoX).  Lanes >= d are don't-care (the q/k lane padding
-    is zero and _rot2d zero-fills, so 0·cos + 0·sin = 0 regardless)."""
-    half, quarter = d // 2, d // 4
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ypos.shape[0], dp), 1)
-    lhalf = jnp.where(lane < half, lane, lane - half)
-    fidx = jnp.where(lhalf < quarter, lhalf, lhalf - quarter)
-    # inv_freq = base^(-2*i/half), i = freq index (ops/rope.py _inv_freq).
-    inv = jnp.exp(fidx.astype(jnp.float32) * (-2.0 * math.log(base) / half))
-    pos = jnp.where(lane < half, ypos[:, None], xpos[:, None])
-    ang = pos * inv
-    return jnp.cos(ang), jnp.sin(ang)
+# RoPE tables enter the kernel PRECOMPUTED as (B, N, D) f32 cos/sin rows
+# (ops/rope.py rope2d_tables) rather than being generated in-kernel from
+# position rows: the VPU transcendentals (exp/cos/sin over (block, D) per
+# grid step) measured 3x the whole attention math at tower shapes
+# (0.63 vs 0.20 ms/layer, PERFORMANCE.md round 2c).  Table HBM traffic is
+# (block, D) f32 per grid step — two orders of magnitude below the score
+# tile the kernel exists to avoid, and the un-broadcast (B, N, D) form
+# stays per-batch (never per-head).
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, kbias_ref,
-            qy_ref, qx_ref, ky_ref, kx_ref, o_ref,
+            qcos_ref, qsin_ref, kcos_ref, ksin_ref, o_ref,
             m_scr, l_scr, acc_scr, q_scr, *, scale: float, nk_blocks: int,
-            rope_d: int = 0, rope_base: float = 100.0, lse_ref=None):
+            rope_d: int = 0, lse_ref=None):
+    """Blocks carry G (batch·head) rows (leading axis) — at tower shapes
+    (B·H ≥ 96, N ≤ 1k) a per-(b·h) grid is overhead-bound: 512 programs of
+    ~2 µs each cost more than the matmuls (measured 0.90 ms/layer vs 0.25
+    with G=2 full-N blocks on the 8-view ViT-L shape)."""
     ik = pl.program_id(2)
-    rope = qy_ref is not None
+    rope = qcos_ref is not None
 
     @pl.when(ik == 0)
     def _init():
@@ -86,52 +78,52 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, kbias_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
         if rope:
-            # Rotate q once per (batch·head, q-block) and keep it in VMEM
+            # Rotate q once per (group, q-block) and keep it in VMEM
             # scratch across all k steps (rotation in f32, stored in the
-            # matmul dtype).
-            qf = q_ref[0].astype(jnp.float32)
-            cos, sin = _rope_tables_block(qy_ref[0], qx_ref[0], rope_d,
-                                          qf.shape[-1], rope_base)
-            q_scr[...] = (qf * cos + _rot2d(qf, rope_d) * sin).astype(
-                q_scr.dtype)
+            # matmul dtype).  All G rows of a group share one table row
+            # (G divides H, tables are per-batch): tables are (bq, d),
+            # broadcast over the group axis.
+            qf = q_ref[...].astype(jnp.float32)          # (G, bq, d)
+            q_scr[...] = (qf * qcos_ref[...] + _rot2d(qf, rope_d)
+                          * qsin_ref[...]).astype(q_scr.dtype)
 
     if rope:
-        q = q_scr[...]                          # (bq, d) pre-rotated
-        kf = k_ref[0].astype(jnp.float32)
-        cos, sin = _rope_tables_block(ky_ref[0], kx_ref[0], rope_d,
-                                      kf.shape[-1], rope_base)
-        k = (kf * cos + _rot2d(kf, rope_d) * sin).astype(k_ref.dtype)
+        q = q_scr[...]                          # (G, bq, d) pre-rotated
+        kf = k_ref[...].astype(jnp.float32)     # (G, bk, d)
+        k = (kf * kcos_ref[...] + _rot2d(kf, rope_d) * ksin_ref[...]).astype(
+            k_ref.dtype)
     else:
-        q = q_ref[0]                            # (bq, d)
-        k = k_ref[0]                            # (bk, d)
+        q = q_ref[...]                          # (G, bq, d)
+        k = k_ref[...]                          # (G, bk, d)
     # bf16 inputs, f32 accumulation — same contraction precision as the
     # XLA-native path (f32×f32 MXU rate is ~4x lower for no extra model
     # accuracy: inputs are bf16 upstream).
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
 
     if bias_ref is not None:
-        s = s + bias_ref[0].astype(jnp.float32)
+        s = s + bias_ref[...].astype(jnp.float32)
     if kvalid_ref is not None:
-        valid = kvalid_ref[0] != 0               # (1, bk) int mask
+        valid = kvalid_ref[...] != 0             # (1, 1, bk) int mask
         s = jnp.where(valid, s, _NEG_INF)
     if kbias_ref is not None:
-        s = s + kbias_ref[0]                     # (1, bk) per-key bias
+        s = s + kbias_ref[...]                   # (1, 1, bk) per-key bias
 
-    m_prev = m_scr[:, :1]                        # (bq, 1)
-    l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)   # (bq, 1)
+    m_prev = m_scr[:, :, :1]                     # (G, bq, 1)
+    l_prev = l_scr[:, :, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)   # (G, bq, 1)
     m_new = jnp.maximum(m_prev, m_cur)
     # Guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)=1.
     safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
-    p = jnp.exp(s - safe_m)                      # (bq, bk)
+    p = jnp.exp(s - safe_m)                      # (G, bq, bk)
     p = jnp.where(s <= _NEG_INF / 2, 0.0, p)
     alpha = jnp.exp(m_prev - safe_m)
     alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
 
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    acc = acc_scr[...] * alpha + jax.lax.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+    acc = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
 
     m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -139,14 +131,14 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, kbias_ref,
 
     @pl.when(ik == nk_blocks - 1)
     def _finalize():
-        l = l_scr[:, :1]
+        l = l_scr[:, :, :1]
         l = jnp.where(l == 0.0, 1.0, l)          # fully-masked rows → 0 out
-        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        o_ref[...] = (acc_scr[...] / l).astype(o_ref.dtype)
         if lse_ref is not None:
             # log-sum-exp per row (fully-masked rows → -inf sentinel).
-            m = m_scr[:, :1]
+            m = m_scr[:, :, :1]
             lse = jnp.where(m <= _NEG_INF / 2, _NEG_INF, m + jnp.log(l))
-            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+            lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape)
 
 
 def fold_kv_valid(bias, kv_valid):
@@ -162,10 +154,11 @@ def fold_kv_valid(bias, kv_valid):
 
 def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
                block_q: int = 256, block_k: int = 512,
-               with_lse: bool = False, rope_base: float = 100.0):
-    """rope: optional (qy, qx, ky, kx) integer-valued (B, Nq)/(B, Nk) f32
-    patch positions — 2D-RoPE cos/sin is generated inside the kernel
-    (see pallas_mha_rope2d).  with_lse additionally returns the per-row
+               with_lse: bool = False):
+    """rope: optional (qcos, qsin, kcos, ksin) f32 tables of shape
+    (B, Nq, D)/(B, Nk, D) from ops/rope.py rope2d_tables — 2D RoPE is
+    applied to q/k inside the kernel (see pallas_mha_rope2d); the rotated
+    tensors never touch HBM.  with_lse additionally returns the per-row
     log-sum-exp (needed by the flash backward)."""
     bias, kv_valid = fold_kv_valid(bias, kv_valid)
     B, H, Nq, D = q.shape
@@ -191,13 +184,24 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
         # (fewer grid steps).  Candidates stay (8,128)-tile aligned.
         # 128 excluded: the extra sequential grid steps cost more than
         # the padding they save (measured 2.8 → 5.0 ms on the DINO
-        # shape).
+        # shape).  Short sequences (≤ 1k) admit a single full block —
+        # at the tower shapes a one-block grid measured ~1.8x faster
+        # than 384-blocks (0.24 vs 0.43 ms/layer at G=4).
         cands = [c for c in (512, 384, 256) if c <= cap] or [cap]
+        if n <= 1024:
+            cands.append(_round_up(n, 128))
         return min(cands, key=lambda c: (_round_up(n, c), -c))
 
     block_q = _pick_block(Nq, min(block_q, _round_up(Nq, 128)))
     block_k = _pick_block(Nk, min(block_k, _round_up(Nk, 128)))
-    Dp = _round_up(D, 128)
+    # Head dim: a block last-dim equal to the array dim is always legal, so
+    # D=64 (every tower here: 1024/16, 768/12) runs UNPADDED — the QK/AV
+    # contractions drop to half MXU rate either way (64-lane contraction
+    # padded to 128 computes zeros at "full" rate), but skipping the pad
+    # halves q/k/v HBM traffic and removes the XLA pad/slice copies around
+    # the kernel (measured: the padded kernel lost to XLA-native attention
+    # at the ViT shape; the unpadded one wins — PERFORMANCE.md round 2c).
+    Dp = D if D % 64 == 0 else _round_up(D, 128)
     Nqp = _round_up(Nq, block_q)
     Nkp = _round_up(Nk, block_k)
 
@@ -219,16 +223,53 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
 
     nq_blocks = Nqp // block_q
     nk_blocks = Nkp // block_k
-    grid = (B * H, nq_blocks, nk_blocks)
+
+    bias_in = bias is not None
+    kvalid_in = kv_valid is not None and bias is None
+    kbias_in = kv_bias is not None
+    rope_in = rope is not None
+
+    # Group size G: each program carries G (batch·head) rows.  A per-row
+    # grid is overhead-bound at tower shapes (B·H=128 × 2×2 blocks = 512
+    # ~2 µs programs/layer ≈ 1 ms vs ~0.2 ms of matmul); G-row blocks
+    # amortize it (measured 0.90 → 0.25 ms/layer at the 8-view ViT-L
+    # shape with G=2 full-N blocks).  Constraints: G | B·H; per-batch
+    # side inputs (kv masks / RoPE position rows, indexed b = g·G//H)
+    # need G | H so a group never straddles a batch boundary; VMEM must
+    # hold the (G, bq, bk) f32 score block plus pipelined in/out blocks.
+    isz = jnp.dtype(dtype).itemsize
+    per_batch_rows = kvalid_in or kbias_in or rope_in
+
+    def _pick_group() -> int:
+        for G in (8, 4, 2, 1):
+            if (B * H) % G:
+                continue
+            if G > 1 and per_batch_rows and H % G:
+                continue
+            use = (G * block_q * block_k * 4                      # s/p f32
+                   + 2 * G * block_q * 128 * 4                    # m, l
+                   + G * block_q * Dp * 4                         # acc
+                   + (G * block_q * Dp * 4 if rope_in else 0)     # q_scr
+                   + 2 * G * (block_q + 2 * block_k) * Dp * isz   # in dbuf
+                   + 2 * G * block_q * Dp * isz                   # out dbuf
+                   + (2 * G * block_q * block_k * 4 if bias_in else 0)
+                   + (4 * (block_q + block_k) * Dp * 4 if rope_in else 0)
+                   + (2 * G * block_q * 128 * 4 if with_lse else 0))
+            if use <= 9_500_000:
+                return G
+        return 1
+
+    G = _pick_group()
+    grid = (B * H // G, nq_blocks, nk_blocks)
 
     in_specs = [
-        pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, block_k, Dp), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, block_k, Dp), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((G, block_q, Dp), lambda g, i, j: (g, i, 0)),
+        pl.BlockSpec((G, block_k, Dp), lambda g, i, j: (g, j, 0)),
+        pl.BlockSpec((G, block_k, Dp), lambda g, i, j: (g, j, 0)),
     ]
     args = [qf, kf, vf]
 
-    if bias is not None:
+    if bias_in:
         bias_full = jnp.broadcast_to(bias, (B, H, Nq, Nk)).astype(jnp.float32)
         bias_full = pad(pad(bias_full, 3, Nkp), 2, Nqp)
         if Nkp != Nk:
@@ -236,44 +277,48 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
             bias_full = bias_full + neg
         args.append(bias_full.reshape(B * H, Nqp, Nkp))
         in_specs.append(
-            pl.BlockSpec((1, block_q, block_k), lambda b, i, j: (b, i, j)))
-        bias_in = True
-    else:
-        bias_in = False
+            pl.BlockSpec((G, block_q, block_k), lambda g, i, j: (g, i, j)))
 
-    if kv_valid is not None and bias is None:
+    def _batch_spec(block_n, axis):
+        # (B, 1, N) side rows: all G rows of a group share one batch index
+        # (G | H enforced above).
+        def idx(g, i, j, G=G, H=H):
+            return ((g * G) // H, 0, i if axis == "q" else j)
+        return pl.BlockSpec((1, 1, block_n), idx)
+
+    if kvalid_in:
         kvm = pad(kv_valid.astype(jnp.int32), 1, Nkp)[:, None, :]  # (B,1,Nkp)
         args.append(kvm)
-        in_specs.append(
-            pl.BlockSpec((1, 1, block_k),
-                         lambda b, i, j, H=H: (b // H, 0, j)))
-        kvalid_in = True
-    else:
-        kvalid_in = False
+        in_specs.append(_batch_spec(block_k, "k"))
 
-    if kv_bias is not None:
+    if kbias_in:
         kb = jnp.pad(kv_bias, ((0, 0), (0, Nkp - Nk)),
                      constant_values=_NEG_INF)[:, None, :]   # (B, 1, Nkp)
         args.append(kb)
-        in_specs.append(
-            pl.BlockSpec((1, 1, block_k),
-                         lambda b, i, j, H=H: (b // H, 0, j)))
-        kbias_in = True
-    else:
-        kbias_in = False
+        in_specs.append(_batch_spec(block_k, "k"))
 
-    rope_in = rope is not None
     if rope_in:
-        # (B, N) integer-valued position rows, padded with 0 (padded k
-        # rows are zero vectors, so their rotation is zero regardless).
-        args += [pad(p.astype(jnp.float32), 1, n)
-                 for p, n in zip(rope, (Nqp, Nqp, Nkp, Nkp))]
-        in_specs += [
-            pl.BlockSpec((1, block_q), lambda b, i, j, H=H: (b // H, i)),
-            pl.BlockSpec((1, block_q), lambda b, i, j, H=H: (b // H, i)),
-            pl.BlockSpec((1, block_k), lambda b, i, j, H=H: (b // H, j)),
-            pl.BlockSpec((1, block_k), lambda b, i, j, H=H: (b // H, j)),
-        ]
+        # (B, N, D) f32 cos/sin tables (per-batch — all G rows of a group
+        # share one table block, G | H enforced above).  N-padded rows and
+        # D-padded lanes use (cos=1, sin=0): identity rotation, so padded
+        # (zero) q/k rows stay zero.
+        def pad_tab(t, n, one):
+            t = t.astype(jnp.float32)
+            return jnp.pad(t, ((0, 0), (0, n - t.shape[1]),
+                               (0, Dp - t.shape[2])),
+                           constant_values=1.0 if one else 0.0)
+
+        qcos, qsin, kcos, ksin = rope
+        args += [pad_tab(qcos, Nqp, True), pad_tab(qsin, Nqp, False),
+                 pad_tab(kcos, Nkp, True), pad_tab(ksin, Nkp, False)]
+
+        def tab_spec(block_n, axis):
+            def idx(g, i, j, G=G, H=H):
+                return ((g * G) // H, i if axis == "q" else j, 0)
+            return pl.BlockSpec((1, block_n, Dp), idx)
+
+        in_specs += [tab_spec(block_q, "q"), tab_spec(block_q, "q"),
+                     tab_spec(block_k, "k"), tab_spec(block_k, "k")]
 
     def kernel(*refs):
         idx = 3
@@ -294,13 +339,13 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
         _kernel(refs[0], refs[1], refs[2], bias_ref, kvalid_ref, kbias_ref,
                 *rope_refs, o_ref, m_scr, l_scr, acc_scr, q_scr, scale=scale,
                 nk_blocks=nk_blocks, rope_d=D if rope_in else 0,
-                rope_base=rope_base, lse_ref=lse_ref)
+                lse_ref=lse_ref)
 
-    out_specs = [pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0))]
+    out_specs = [pl.BlockSpec((G, block_q, Dp), lambda g, i, j: (g, i, 0))]
     out_shapes = [jax.ShapeDtypeStruct((B * H, Nqp, Dp), dtype)]
     if with_lse:
         out_specs.append(
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)))
+            pl.BlockSpec((G, block_q, 128), lambda g, i, j: (g, i, 0)))
         out_shapes.append(
             jax.ShapeDtypeStruct((B * H, Nqp, 128), jnp.float32))
 
@@ -311,10 +356,10 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
         out_specs=tuple(out_specs) if with_lse else out_specs[0],
         out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, Dp), jnp.float32),
-        ] + ([pltpu.VMEM((block_q, Dp), dtype)] if rope_in else []),
+            pltpu.VMEM((G, block_q, 128), jnp.float32),
+            pltpu.VMEM((G, block_q, 128), jnp.float32),
+            pltpu.VMEM((G, block_q, Dp), jnp.float32),
+        ] + ([pltpu.VMEM((G, block_q, Dp), dtype)] if rope_in else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -388,20 +433,27 @@ def _mha_bwd(scale, res, g):
 _pallas_mha.defvjp(_mha_fwd, _mha_bwd)
 
 
+def _rope_tables(qy, qx, ky, kx, D, base):
+    from panst3r_tpu.ops.rope import rope2d_tables
+
+    qcos, qsin = rope2d_tables(jnp.stack([qy, qx], -1), D, base)
+    kcos, ksin = rope2d_tables(jnp.stack([ky, kx], -1), D, base)
+    return qcos, qsin, kcos, ksin
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def _pallas_mha_rope(q, k, v, bias, kv_valid, qy, qx, ky, kx, scale, base):
-    return _flash_fwd(q, k, v, bias, kv_valid, scale,
-                      rope=(qy, qx, ky, kx), rope_base=base)
+    tabs = _rope_tables(qy, qx, ky, kx, q.shape[-1], base)
+    return _flash_fwd(q, k, v, bias, kv_valid, scale, rope=tabs)
 
 
 def _mha_rope_fwd(q, k, v, bias, kv_valid, qy, qx, ky, kx, scale, base):
+    tabs = _rope_tables(qy, qx, ky, kx, q.shape[-1], base)
     if _use_flash_bwd():
         out, lse = _flash_fwd(q, k, v, bias, kv_valid, scale,
-                              rope=(qy, qx, ky, kx), with_lse=True,
-                              rope_base=base)
+                              rope=tabs, with_lse=True)
         return out, (q, k, v, bias, kv_valid, qy, qx, ky, kx, out, lse)
-    out = _flash_fwd(q, k, v, bias, kv_valid, scale,
-                     rope=(qy, qx, ky, kx), rope_base=base)
+    out = _flash_fwd(q, k, v, bias, kv_valid, scale, rope=tabs)
     return out, (q, k, v, bias, kv_valid, qy, qx, ky, kx, None, None)
 
 

@@ -85,14 +85,11 @@ def test_flash_bwd_with_rope(rng):
     kpos = jnp.asarray(rng.integers(0, 16, (B, Nk, 2)), jnp.int32)
     qcos, qsin = rope2d_tables(qpos, D)
     kcos, ksin = rope2d_tables(kpos, D)
-    # _flash_fwd takes (qy, qx, ky, kx) position rows (tables are generated
-    # in-kernel); the backward kernel still takes the materialized tables.
-    fwd_rope = (
-        qpos[..., 0].astype(jnp.float32), qpos[..., 1].astype(jnp.float32),
-        kpos[..., 0].astype(jnp.float32), kpos[..., 1].astype(jnp.float32))
+    # Both forward and backward kernels take the materialized (B, N, D)
+    # cos/sin tables.
     rope = (qcos, qsin, kcos, ksin)
     with pltpu.force_tpu_interpret_mode():
-        o, lse = _flash_fwd(q, k, v, None, None, scale, rope=fwd_rope,
+        o, lse = _flash_fwd(q, k, v, None, None, scale, rope=rope,
                             with_lse=True)
         dq, dk, dv = flash_bwd(q, k, v, None, None, rope, o, lse, g, scale)
 

@@ -20,23 +20,6 @@ def test_rope_table_form_matches_positional(rng):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_inkernel_table_generator_matches_rope2d_tables(rng):
-    """_rope_tables_block (pure jnp, runs inside the kernel) must equal
-    rope2d_tables on the real lanes for arbitrary integer positions."""
-    from panst3r_tpu.ops.pallas.flash_attention import _rope_tables_block
-
-    D, Dp, N = 64, 128, 96
-    pos = jnp.asarray(rng.integers(0, 40, (N, 2)), jnp.int32)
-    cos_ref, sin_ref = rope2d_tables(pos[None], D)     # (1, N, D)
-    cos, sin = _rope_tables_block(pos[:, 0].astype(jnp.float32),
-                                  pos[:, 1].astype(jnp.float32),
-                                  D, Dp, 100.0)
-    np.testing.assert_allclose(np.asarray(cos[:, :D]),
-                               np.asarray(cos_ref[0]), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(sin[:, :D]),
-                               np.asarray(sin_ref[0]), rtol=1e-5, atol=1e-6)
-
-
 def test_fused_rope_kernel_matches_reference(rng):
     from jax.experimental.pallas import tpu as pltpu
 
