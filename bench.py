@@ -172,12 +172,16 @@ def main():
         print(f"# latency={lat_fps:.2f} throughput={thr_fps:.2f} "
               f"halfres-wire={halfres_fps:.2f} fps", file=sys.stderr)
 
-    fps = max(lat_fps, thr_fps, many_fps or 0.0)
+    modes = {"latency": lat_fps, "throughput_pipelined": thr_fps}
+    if many_fps:
+        modes[f"batched[{many}]"] = many_fps
+    mode = max(modes, key=modes.get)
     print(json.dumps({
         "metric": "inference_frames_per_s_per_chip_512px",
-        "value": round(fps, 3),
+        "value": round(modes[mode], 3),
         "unit": "frames/s",
         "vs_baseline": None,
+        "mode": mode,
     }))
 
 

@@ -33,7 +33,10 @@ def _imread(path: str, flags: str = "rgb") -> np.ndarray:
 
 class ScanNetppPanoptic(EasyDataset):
     def __init__(self, ROOT: str, resolution=(512, 384), num_views: int = 5,
-                 aug_crop: int = 16, seed: int = 777):
+                 aug_crop: int = 16, seed: int = 777,
+                 transform: str | None = None):
+        from panst3r_tpu.data.transforms import TRANSFORMS
+
         self.ROOT = ROOT
         self.resolution = (resolution if isinstance(resolution[0],
                                                     (list, tuple))
@@ -41,6 +44,9 @@ class ScanNetppPanoptic(EasyDataset):
         self.num_views = num_views
         self.aug_crop = aug_crop
         self.seed = seed
+        # Photometric augmentation (reference recipe: transform=ColorJitter,
+        # configs/base.yaml:47) — applied per view before normalization.
+        self.transform = TRANSFORMS[transform]
         self.epoch = 0
         self.is_metric_scale = True
         self._load_data()
@@ -96,7 +102,10 @@ class ScanNetppPanoptic(EasyDataset):
             rgb, (depth, inst_id, cls_id), K, resolution, rng=rng,
             aug_crop=self.aug_crop)
 
-        img = np.asarray(image, np.float32) / 255.0 * 2.0 - 1.0  # dust3r norm
+        img = np.asarray(image, np.float32) / 255.0
+        if self.transform is not None:
+            img = self.transform(img, rng)
+        img = img * 2.0 - 1.0  # dust3r norm
         return dict(
             img=img,
             depthmap=depth.astype(np.float32),

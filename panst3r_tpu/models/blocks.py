@@ -14,9 +14,12 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from panst3r_tpu.ops.attention import flash_attention, flash_attention_rope2d
+from panst3r_tpu.ops.attention import (flash_attention,
+                                       flash_attention_rope2d,
+                                       flash_attention_rope2d_tables)
 from panst3r_tpu.ops.rope import apply_rope_2d
 
 
@@ -34,8 +37,14 @@ def gelu_exact(x):
     """Exact (erf) GELU — torch ``nn.GELU()``'s default, used by croco's
     `Mlp` and HF ViTs.  flax's ``nn.gelu`` defaults to the tanh
     approximation, which would break layerwise weight-port parity
-    (~1e-3/layer drift across a 24-block ViT)."""
-    return nn.gelu(x, approximate=False)
+    (~1e-3/layer drift across a 24-block ViT).
+
+    Half-precision inputs run ops/gelu.py fast_gelu — bit-identical to
+    erf-GELU for every bf16 value (exhaustively verified) at ~1/4 the VPU
+    cost of XLA's erf; f32/f64 keep the stock erf lowering."""
+    from panst3r_tpu.ops.gelu import fast_gelu
+
+    return fast_gelu(x)
 
 
 class Mlp(nn.Module):
@@ -48,6 +57,11 @@ class Mlp(nn.Module):
         out = self.out_features or x.shape[-1]
         x = nn.Dense(self.hidden_features, name="fc1")(x)
         x = self.act(x)
+        # Materialize the activation: without this XLA folds the GELU
+        # chain into the fc2 matmul's operand fusion and re-evaluates it
+        # per K-tile — measured +0.21 ms/layer at the ViT-L MLP shape
+        # (tools/ab_tower_block.py mlp vs mlp-barrier).
+        x = jax.lax.optimization_barrier(x)
         x = nn.Dense(out, name="fc2")(x)
         return x
 
@@ -60,12 +74,18 @@ class SelfAttention(nn.Module):
     rope_base: Optional[float] = 100.0
 
     @nn.compact
-    def __call__(self, x, pos=None, mask=None):
+    def __call__(self, x, pos=None, mask=None, tabs=None):
+        """tabs: optional precomputed RoPE (cos, sin) tables (B, N, D) —
+        takes precedence over ``pos`` (lets a scanned tower hoist the
+        table computation out of the layer loop)."""
         C = x.shape[-1]
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
-        if pos is not None and self.rope_base is not None:
+        if tabs is not None and self.rope_base is not None:
+            out = flash_attention_rope2d_tables(q, k, v, qtab=tabs,
+                                                ktab=tabs, mask=mask)
+        elif pos is not None and self.rope_base is not None:
             out = flash_attention_rope2d(q, k, v, qpos=pos, kpos=pos,
                                          mask=mask, base=self.rope_base)
         else:
@@ -82,13 +102,18 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, key, value, qpos=None, kpos=None,
-                 bias=None, mask=None):
+                 bias=None, mask=None, qtab=None, ktab=None):
         C = x.shape[-1]
         q = nn.Dense(C, use_bias=self.qkv_bias, name="projq")(x)
         k = nn.Dense(C, use_bias=self.qkv_bias, name="projk")(key)
         v = nn.Dense(C, use_bias=self.qkv_bias, name="projv")(value)
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
-        if (self.rope_base is not None and qpos is not None
+        if (self.rope_base is not None
+                and (qtab is not None or ktab is not None)):
+            out = flash_attention_rope2d_tables(q, k, v, qtab=qtab,
+                                                ktab=ktab, bias=bias,
+                                                mask=mask)
+        elif (self.rope_base is not None and qpos is not None
                 and kpos is not None):
             out = flash_attention_rope2d(q, k, v, qpos=qpos, kpos=kpos,
                                          bias=bias, mask=mask,
@@ -112,9 +137,10 @@ class Block(nn.Module):
     rope_base: Optional[float] = 100.0
 
     @nn.compact
-    def __call__(self, x, pos=None):
+    def __call__(self, x, pos=None, tabs=None):
         x = x + SelfAttention(self.num_heads, self.qkv_bias, self.rope_base,
-                              name="attn")(nn.LayerNorm(name="norm1")(x), pos)
+                              name="attn")(nn.LayerNorm(name="norm1")(x),
+                                           pos, tabs=tabs)
         x = x + Mlp(int(x.shape[-1] * self.mlp_ratio),
                     name="mlp")(nn.LayerNorm(name="norm2")(x))
         return x

@@ -38,6 +38,7 @@ from panst3r_tpu.models import memory as memlib
 from panst3r_tpu.models.blocks import CrossAttention, Mlp, SelfAttention
 from panst3r_tpu.models.memory import TokenMemory
 from panst3r_tpu.ops.attention import memory_mask_bias
+from panst3r_tpu.ops.rope import rope2d_tables
 
 
 @cfg.register
@@ -71,32 +72,35 @@ class _DecoderLayer(nn.Module):
     kv_shard: Optional[object] = None
 
     @nn.compact
-    def __call__(self, x, mem_y_l, pos_bv, flat_pos, mem_pos, mem_bias,
-                 upd_bias, kv_pos):
+    def __call__(self, x, mem_y_l, tabs_self, tabs_q, tabs_mem, mem_bias,
+                 upd_bias, tabs_kv):
+        """RoPE enters as precomputed (cos, sin) tables — position-only
+        and loop-invariant, so MemoryDecoder computes them once outside
+        the layer scan (XLA cannot hoist out of the while body)."""
         B, V, N, _ = x.shape
         y_cur = nn.LayerNorm(name="norm_y")(x)       # memory_mode=norm_y
         if not self.render:
             kv = jnp.concatenate(
                 [mem_y_l.astype(x.dtype), y_cur.reshape(B, V * N, -1)],
                 axis=1)
-            bias, kpos = upd_bias, kv_pos
+            bias, ktab = upd_bias, tabs_kv
         else:
             kv = mem_y_l.astype(x.dtype)
             if self.kv_shard is not None:
                 kv = jax.lax.with_sharding_constraint(kv, self.kv_shard)
-            bias, kpos = mem_bias, mem_pos
+            bias, ktab = mem_bias, tabs_mem
 
         # Self-attention within each view.
         xv = x.reshape(B * V, N, -1)
         xv = xv + SelfAttention(self.num_heads, rope_base=self.rope_base,
                                 name="self_attn")(
-            nn.LayerNorm(name="norm1")(xv), pos_bv)
+            nn.LayerNorm(name="norm1")(xv), tabs=tabs_self)
         x = xv.reshape(B, V * N, -1)
         # Cross-attention into the token memory (joint over views).
         x = x + CrossAttention(self.num_heads, rope_base=self.rope_base,
                                name="cross_attn")(
             nn.LayerNorm(name="norm2")(x), kv, kv,
-            qpos=flat_pos, kpos=kpos, bias=bias)
+            qtab=tabs_q, ktab=ktab, bias=bias)
         x = x + Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
             nn.LayerNorm(name="norm3")(x))
         return x.reshape(B, V, N, -1), y_cur
@@ -144,6 +148,14 @@ class MemoryDecoder(nn.Module):
         upd_bias = jnp.concatenate([mem_bias, zeros_cur], axis=-1)
         kv_pos = jnp.concatenate([mem.pos, flat_pos], axis=1)
 
+        # RoPE tables once per forward, shared by all 12 scanned layers.
+        hd = c.dim // c.num_heads
+        tabs_self = rope2d_tables(pos.reshape(B * V, N, 2), hd, c.rope_base)
+        tabs_q = rope2d_tables(flat_pos, hd, c.rope_base)
+        tabs_mem = rope2d_tables(mem.pos, hd, c.rope_base)
+        tabs_kv = (None if render
+                   else rope2d_tables(kv_pos, hd, c.rope_base))
+
         # 12 identical layers under nn.scan: carry x, scan over the
         # per-layer memory banks (mem.y is (depth, B, M, dim)), collect
         # each layer's norm_y tokens as the stacked memory write.
@@ -153,8 +165,8 @@ class MemoryDecoder(nn.Module):
             in_axes=(0,) + (nn.broadcast,) * 6,
             length=c.depth)(c.dim, c.num_heads, c.mlp_ratio, c.rope_base,
                             render, self.kv_shard, name="layers")
-        x, new_y = layers(tokens, mem.y, pos.reshape(B * V, N, 2),
-                          flat_pos, mem.pos, mem_bias, upd_bias, kv_pos)
+        x, new_y = layers(tokens, mem.y, tabs_self, tabs_q, tabs_mem,
+                          mem_bias, upd_bias, tabs_kv)
 
         feats = nn.LayerNorm(name="norm")(x)             # (B, V, N, dim)
 

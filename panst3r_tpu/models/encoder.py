@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from panst3r_tpu.core import config as cfg
 from panst3r_tpu.models.blocks import Block
-from panst3r_tpu.ops.rope import patch_grid_positions
+from panst3r_tpu.ops.rope import patch_grid_positions, rope2d_tables
 
 
 @cfg.register
@@ -40,9 +40,9 @@ class _BlockStack(nn.Module):
     rope_base: float
 
     @nn.compact
-    def __call__(self, x, pos):
+    def __call__(self, x, tabs):
         x = Block(self.num_heads, self.mlp_ratio, rope_base=self.rope_base,
-                  name="block")(x, pos)
+                  name="block")(x, tabs=tabs)
         return x, None
 
 
@@ -69,10 +69,14 @@ class ViTEncoder(nn.Module):
         x = x.reshape(B, gh * gw, c.embed_dim)
         pos = jnp.broadcast_to(patch_grid_positions(gh, gw)[None],
                                (B, gh * gw, 2))
+        # RoPE tables are position-only — compute ONCE here and broadcast
+        # into the layer scan (XLA cannot hoist them out of the while
+        # body; the per-layer recompute measured ~0.26 ms/layer).
+        tabs = rope2d_tables(pos, c.embed_dim // c.num_heads, c.rope_base)
         stack = nn.scan(_BlockStack, variable_axes={"params": 0},
                         split_rngs={"params": True}, in_axes=nn.broadcast,
                         length=c.depth)(c.num_heads, c.mlp_ratio,
                                         c.rope_base, name="blocks")
-        x, _ = stack(x, pos)
+        x, _ = stack(x, tabs)
         x = nn.LayerNorm(name="norm")(x)
         return x, pos

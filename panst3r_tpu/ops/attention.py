@@ -78,6 +78,35 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return dot_product_attention(q, k, v, bias=bias, mask=mask, scale=scale)
 
 
+def flash_attention_rope2d_tables(q, k, v, qtab=None, ktab=None, bias=None,
+                                  mask=None, scale=None):
+    """Attention with 2D RoPE applied from PRECOMPUTED (cos, sin) tables
+    ((B, N, D) pairs from ops/rope.py rope2d_tables).  The table form lets
+    a scanned tower compute tables once per forward instead of once per
+    layer (positions are loop-invariant, but XLA cannot hoist out of a
+    `while` body).  Either side's tables may be None (no rotation)."""
+    from panst3r_tpu.ops.rope import apply_rope_tables
+
+    tiny = q.shape[2] < 256 and k.shape[2] <= 1024 and bias is None \
+        and mask is None
+    if not tiny and _use_pallas() and qtab is not None and ktab is not None:
+        from panst3r_tpu.ops.pallas.flash_attention import (
+            pallas_mha_rope2d_tables)
+        try:
+            return pallas_mha_rope2d_tables(q, k, v, qtab[0], qtab[1],
+                                            ktab[0], ktab[1], bias=bias,
+                                            mask=mask, scale=scale)
+        except NotImplementedError:
+            pass
+    if qtab is not None:
+        q = apply_rope_tables(q, *qtab)
+    if ktab is not None:
+        k = apply_rope_tables(k, *ktab)
+    if tiny:
+        return dot_product_attention(q, k, v, scale=scale)
+    return flash_attention(q, k, v, bias=bias, mask=mask, scale=scale)
+
+
 def flash_attention_rope2d(q, k, v, qpos=None, kpos=None, bias=None,
                            mask=None, scale=None, base: float = 100.0):
     """Attention with 2D RoPE applied to q (by qpos) and k (by kpos).

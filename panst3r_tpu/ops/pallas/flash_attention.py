@@ -496,12 +496,86 @@ def _mha_rope_bwd(scale, base, res, g):
 _pallas_mha_rope.defvjp(_mha_rope_fwd, _mha_rope_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _pallas_mha_tabs(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, scale):
+    return _flash_fwd(q, k, v, bias, kv_valid, scale,
+                      rope=(qcos, qsin, kcos, ksin))
+
+
+def _mha_tabs_fwd(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, scale):
+    tabs = (qcos, qsin, kcos, ksin)
+    if _use_flash_bwd():
+        out, lse = _flash_fwd(q, k, v, bias, kv_valid, scale,
+                              rope=tabs, with_lse=True)
+        return out, (q, k, v, bias, kv_valid, *tabs, out, lse)
+    out = _flash_fwd(q, k, v, bias, kv_valid, scale, rope=tabs)
+    return out, (q, k, v, bias, kv_valid, *tabs, None, None)
+
+
+def _mha_tabs_bwd(scale, res, g):
+    from panst3r_tpu.ops.rope import apply_rope_tables
+
+    q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin, o, lse = res
+    tab_zeros = (jnp.zeros_like(qcos), jnp.zeros_like(qsin),
+                 jnp.zeros_like(kcos), jnp.zeros_like(ksin))
+    if lse is not None:
+        from panst3r_tpu.ops.pallas.flash_attention_bwd import flash_bwd
+
+        dq, dk, dv = flash_bwd(q, k, v, bias, kv_valid,
+                               (qcos, qsin, kcos, ksin), o, lse, g, scale)
+        db = jnp.zeros_like(bias) if bias is not None else None
+        return (dq, dk, dv, db, None, *tab_zeros)
+
+    def ref(q, k, v, bias):
+        qr = apply_rope_tables(q, qcos, qsin)
+        kr = apply_rope_tables(k, kcos, ksin)
+        mask = kv_valid[:, None, None, :] if kv_valid is not None else None
+        return dot_product_attention(qr, kr, v, bias=bias, mask=mask,
+                                     scale=scale)
+
+    if bias is not None:
+        _, vjp = jax.vjp(ref, q, k, v, bias)
+        dq, dk, dv, db = vjp(g)
+    else:
+        _, vjp = jax.vjp(lambda q, k, v: ref(q, k, v, None), q, k, v)
+        dq, dk, dv = vjp(g)
+        db = None
+    return (dq, dk, dv, db, None, *tab_zeros)
+
+
+_pallas_mha_tabs.defvjp(_mha_tabs_fwd, _mha_tabs_bwd)
+
+
+def pallas_mha_rope2d_tables(q, k, v, qcos, qsin, kcos, ksin, bias=None,
+                             mask=None, scale=None):
+    """Fused 2D-RoPE flash attention with caller-provided cos/sin tables
+    (rope2d_tables).  Lets towers compute the tables ONCE per forward and
+    reuse them across a scanned layer stack — XLA cannot hoist the table
+    computation out of a `while` body, so the per-position form re-paid
+    ~0.26 ms/layer of table math + pad fusions inside the 24-layer encoder
+    scan (round-3 trace)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    kv_valid = None
+    if mask is not None:
+        if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1:
+            kv_valid = mask[:, 0, 0, :]
+            mask = None
+        else:
+            mb = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
+            bias = mb if bias is None else bias + mb
+            mask = None
+    return _pallas_mha_tabs(q, k, v, bias, kv_valid, qcos, qsin, kcos, ksin,
+                            scale)
+
+
 def pallas_mha_rope2d(q, k, v, qpos, kpos, bias=None, mask=None, scale=None,
                       base: float = 100.0):
     """Fused 2D-RoPE + flash attention (the cuRoPE+xFormers replacement,
-    BASELINE north-star kernel): q/k are rotated by their integer patch
-    positions inside the kernel (cos/sin generated in-registers); rotated
-    tensors and tables never touch HBM.
+    BASELINE north-star kernel): q/k are rotated inside the kernel from
+    PRECOMPUTED (B, N, D) f32 cos/sin tables (see the module-level note —
+    in-kernel transcendentals measured 3x slower); the rotated q/k tensors
+    never touch HBM.
     qpos: (B, Nq, 2); kpos: (B, Nk, 2)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5

@@ -96,6 +96,34 @@ def test_fusion_matches_reference_loop(seed, niters):
                                    r["conf"][assigned], atol=2e-3)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fusion_v1_thresholds_match_reference_loop(seed):
+    """panoptic_inference_v1 semantics: mask_threshold=0.5,
+    overlap_threshold=0.8, niters=1 (reference postprocess.py:9-11) —
+    the v1-checkpoint threshold set VERDICT r2 #8 asked to pin."""
+    from panst3r_tpu.engine.fusion import panoptic_fusion_v1
+
+    rng = np.random.default_rng(100 + seed)
+    B, V, Q, h, w, NC = 1, 2, 16, 12, 16, 6
+    H, W = 24, 32
+    mask_cls = (rng.standard_normal((B, Q, NC)) * 2).astype(np.float32)
+    mask_pred = (rng.standard_normal((B, V, Q, h, w)) * 3).astype(np.float32)
+
+    ours = panoptic_fusion_v1(jnp.asarray(mask_cls), jnp.asarray(mask_pred),
+                              (H, W))
+    ref = reference_fusion_loop(mask_cls, mask_pred, (H, W),
+                                mask_threshold=0.5, overlap_threshold=0.8,
+                                niters=1)
+
+    for o, r in zip(ours, ref):
+        np.testing.assert_array_equal(o["pan"], r["pan"])
+        assert o["segments_info"] == r["segments_info"]
+        # conf agrees where assigned (f16 download rounding allowed)
+        assigned = r["pan"] > 0
+        np.testing.assert_allclose(o["conf"][assigned],
+                                   r["conf"][assigned], atol=2e-3)
+
+
 def reference_fusion_multi_ar(mask_cls, mask_pred_views, true_shapes,
                               cls_threshold=0.1, mask_threshold=0.25,
                               overlap_threshold=0.5, niters=2,
