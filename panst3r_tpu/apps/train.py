@@ -45,6 +45,11 @@ class ExperimentConfig:
     resolution: tuple = ((512, 384),)
     num_views: int = 5
     aug_crop: int = 16
+    # Reference recipe parity (configs/base.yaml:38-48): photometric
+    # augmentation + randomized per-sample memory-core size.
+    transform: str | None = None           # None | "ColorJitter"
+    min_memory_num_views: int | None = None
+    max_memory_num_views: int | None = None
     train: TrainConfig = TrainConfig()
     output_dir: str = "./out"
     keep_freq: int = 10                    # reference base.yaml:81
@@ -107,7 +112,10 @@ def main(argv=None):
 
     dataset = ScanNetppPanoptic(exp.data_root, resolution=list(exp.resolution),
                                 num_views=exp.num_views,
-                                aug_crop=exp.aug_crop)
+                                aug_crop=exp.aug_crop,
+                                transform=exp.transform,
+                                min_memory_num_views=exp.min_memory_num_views,
+                                max_memory_num_views=exp.max_memory_num_views)
     classes = sorted(set(dataset.classes))
 
     model = build_model(exp.model_preset)

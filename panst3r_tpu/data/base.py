@@ -121,18 +121,32 @@ def select_tuple_from_pairs(get_pairs, get_view, num_views: int,
                             idx1: int, idx2: int):
     """Grow a connected tuple of views from a seed pair using the covisibility
     pair graph (must3r tuple_maker equivalent; called at reference
-    scannetpp.py:86-91).  Views are added by sampling neighbors of the
-    already-selected set, falling back to repeats when the neighborhood is
-    exhausted.
+    scannetpp.py:86-91).
+
+    The first ``memory_num_views`` views form a connected MEMORY core
+    (each added view covisible with the already-selected core); the
+    remaining views are sampled from neighbors of the memory core only —
+    they must be covisible with the memory, not merely with each other
+    (the reference recipe randomizes memory size per sample via
+    min/max_memory_num_views db_options, configs/base.yaml:38-41).
+    Falls back to repeats when a neighborhood is exhausted.
     """
+    memory_num_views = max(2, min(memory_num_views, num_views))
     selected = [idx1, idx2]
-    while len(selected) < num_views:
+
+    def grow(frontier_src):
         frontier = set()
-        for s in selected:
+        for s in frontier_src:
             frontier.update(get_pairs(s))
         frontier -= set(selected)
         if frontier:
             selected.append(int(rng.choice(sorted(frontier))))
         else:
             selected.append(int(rng.choice(selected)))
+
+    while len(selected) < memory_num_views:
+        grow(selected)
+    mem_core = list(selected)
+    while len(selected) < num_views:
+        grow(mem_core)
     return [get_view(v, rng) for v in selected[:num_views]]

@@ -34,7 +34,9 @@ def _imread(path: str, flags: str = "rgb") -> np.ndarray:
 class ScanNetppPanoptic(EasyDataset):
     def __init__(self, ROOT: str, resolution=(512, 384), num_views: int = 5,
                  aug_crop: int = 16, seed: int = 777,
-                 transform: str | None = None):
+                 transform: str | None = None,
+                 min_memory_num_views: int | None = None,
+                 max_memory_num_views: int | None = None):
         from panst3r_tpu.data.transforms import TRANSFORMS
 
         self.ROOT = ROOT
@@ -44,6 +46,11 @@ class ScanNetppPanoptic(EasyDataset):
         self.num_views = num_views
         self.aug_crop = aug_crop
         self.seed = seed
+        # Randomized per-sample memory size (reference db_options
+        # min/max_memory_num_views, configs/base.yaml:38-41): the first M
+        # views of a tuple form the covisibility-connected memory core.
+        self.min_memory_num_views = min_memory_num_views or num_views
+        self.max_memory_num_views = max_memory_num_views or num_views
         # Photometric augmentation (reference recipe: transform=ColorJitter,
         # configs/base.yaml:47) — applied per view before normalization.
         self.transform = TRANSFORMS[transform]
@@ -126,8 +133,12 @@ class ScanNetppPanoptic(EasyDataset):
         resolution = self.resolution[res_idx]
         rng = np.random.default_rng(self.seed + self.epoch * 100003 + idx)
         idx1, idx2 = self.pairs[idx]
+        mem_views = int(rng.integers(self.min_memory_num_views,
+                                     self.max_memory_num_views + 1))
         views = select_tuple_from_pairs(
             lambda v: self.pairs_per_image[v],
             lambda v, r: self._load_view(idx, v, resolution, r),
-            self.num_views, self.num_views, rng, int(idx1), int(idx2))
+            self.num_views, mem_views, rng, int(idx1), int(idx2))
+        for v in views:
+            v["memory_num_views"] = mem_views
         return views

@@ -58,6 +58,45 @@ def test_select_tuple_from_pairs():
     assert set(views) <= {0, 1, 2, 3}
 
 
+def test_select_tuple_memory_core_semantics():
+    """min/max_memory_num_views (reference configs/base.yaml:38-41): the
+    first M views form a connected memory core; every later view must be
+    covisible with the MEMORY core, not merely with another late view."""
+    # star around 0-1 core; 4 and 5 only reachable through 3
+    pairs = {0: {1, 2, 3}, 1: {0, 2}, 2: {0, 1}, 3: {0, 4, 5},
+             4: {3}, 5: {3}}
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        views = select_tuple_from_pairs(lambda v: pairs[v],
+                                        lambda v, r: v, 5, 2, rng, 0, 1)
+        mem = set(views[:2])
+        assert mem == {0, 1}
+        for v in views[2:]:
+            # covisible with the memory core (or a fallback repeat)
+            assert (pairs[v] & mem) or v in (0, 1), (views, v)
+        # 4/5 are NOT neighbors of the {0,1} memory core
+        assert 4 not in views[2:] and 5 not in views[2:]
+
+
+def test_dataset_memory_num_views_sampling(tmp_path):
+    root = str(tmp_path / "snpp")
+    _make_scannetpp(root, n_views=6)
+    from panst3r_tpu.data.scannetpp import ScanNetppPanoptic
+
+    ds = ScanNetppPanoptic(root, resolution=(64, 48), num_views=4,
+                           aug_crop=0, seed=3, min_memory_num_views=2,
+                           max_memory_num_views=4)
+    seen = set()
+    for i in range(min(8, len(ds))):
+        views = ds[i]
+        ms = {v["memory_num_views"] for v in views}
+        assert len(ms) == 1                  # consistent within a tuple
+        m = ms.pop()
+        assert 2 <= m <= 4
+        seen.add(m)
+    assert len(seen) > 1                     # actually randomized
+
+
 def test_crop_resize_landscape(rng):
     img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
     depth = rng.random((480, 640)).astype(np.float32)

@@ -190,3 +190,83 @@ def test_memory_ring_overwrite(rng):
                                np.asarray(3 * y))
     np.testing.assert_allclose(np.asarray(mem.y[:, :, 2:4]),
                                np.asarray(2 * y))
+
+
+def test_ate_from_preprocessed_metadata_gt(rng, tmp_path):
+    """End-to-end ATE rigor (VERDICT r2 #5): GT trajectories come from the
+    preprocessed-dataset metadata contract (`all_metadata.npz`
+    trajectories, tools/preprocess_scannetpp.py layout); pointmaps are
+    rendered from those poses by proper pinhole unprojection; the full
+    recovery stack (Weiszfeld focal + weighted Kabsch init, pose-graph GN,
+    Schur BA) must hit numeric ATE thresholds and refinement must not
+    degrade the init."""
+    from panst3r_tpu.engine.ba import refine_scene_ba
+    from panst3r_tpu.engine.eval import ate_rmse
+    from panst3r_tpu.engine.pose import recover_cameras
+
+    V, H, W = 6, 24, 32
+    f = 30.0
+    # GT trajectory: arc with varying orientation; write + read back via
+    # the dataset metadata format.
+    gt = []
+    for i in range(V):
+        a = 0.5 * i / V
+        c, s = np.cos(a), np.sin(a)
+        T = np.eye(4)
+        T[:3, :3] = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T[:3, 3] = [0.8 * i / V, 0.05 * i, 0.3 * s]
+        gt.append(T)
+    np.savez(tmp_path / "all_metadata.npz",
+             trajectories=np.stack(gt).astype(np.float32),
+             intrinsics=np.stack([[[f, 0, W / 2], [0, f, H / 2],
+                                   [0, 0, 1]]] * V).astype(np.float32))
+    with np.load(tmp_path / "all_metadata.npz") as meta:
+        gt = meta["trajectories"].astype(np.float64)
+
+    # Render local pointmaps by unprojecting a smooth depth field, then
+    # map into the global frame (= world of the metadata poses).
+    ys, xs = np.mgrid[:H, :W].astype(np.float32)
+    depth = 2.0 + 0.3 * np.sin(xs / 7.0) + 0.2 * np.cos(ys / 5.0)
+    pts_local = np.stack([(xs - W / 2) / f * depth,
+                          (ys - H / 2) / f * depth, depth], -1)
+    pts_local = np.broadcast_to(pts_local, (V, H, W, 3)).copy()
+    # vary the field slightly per view so registrations are well-posed
+    pts_local += 0.02 * np.sin(np.arange(V))[:, None, None, None] \
+        * np.stack([ys, xs, ys], -1)[None] / 30.0
+    pts_global = np.einsum("vab,vhwb->vhwa", gt[:, :3, :3], pts_local) \
+        + gt[:, None, None, :3, 3]
+    pm = {"pts3d_local": pts_local.astype(np.float32),
+          "pts3d": pts_global.astype(np.float32),
+          "conf": np.full((V, H, W), 2.0, np.float32)}
+
+    # 1. Clean recovery (demo recipe): focal + ATE both near-exact.
+    focals, c2w = recover_cameras(pm, (H, W))
+    np.testing.assert_allclose(np.asarray(focals), f, rtol=0.02)
+    assert ate_rmse(np.asarray(c2w, np.float64), gt) < 1e-3
+
+    # 2. Noisy local maps: pose-graph + BA refinement vs init, all
+    # against the metadata GT.
+    pm_noisy = dict(pm)
+    pm_noisy["pts3d_local"] = (pts_local + 0.02 * rng.standard_normal(
+        pts_local.shape)).astype(np.float32)
+    refined, T0, costs = refine_scene_poses(pm_noisy, iters=10)
+    ate_init = ate_rmse(np.asarray(T0, np.float64), gt)
+    ate_pg = ate_rmse(np.asarray(refined, np.float64), gt)
+    assert float(costs[-1]) <= float(costs[0])
+    # GN at convergence may wiggle within numerical noise of the init
+    assert ate_pg <= ate_init * 1.01 + 1e-6
+    assert ate_pg < 0.03, (ate_init, ate_pg)
+
+    # 3. BA from a deliberately degraded init must improve on it (from a
+    # near-perfect init BA only redistributes noise, so improvement is
+    # asserted against the perturbed start).
+    from panst3r_tpu.engine.slam import se3_exp
+
+    xi = 0.03 * rng.standard_normal((V, 6)).astype(np.float32)
+    T0_bad = np.einsum("vab,vbc->vac", np.asarray(T0),
+                       np.asarray(jax.vmap(se3_exp)(jnp.asarray(xi))))
+    ate_bad = ate_rmse(T0_bad.astype(np.float64), gt)
+    ba_poses, _ = refine_scene_ba(pm_noisy, T0_bad.astype(np.float32))
+    ate_ba = ate_rmse(np.asarray(ba_poses, np.float64), gt)
+    assert ate_ba < ate_bad, (ate_bad, ate_ba)
+    assert ate_ba < 0.03

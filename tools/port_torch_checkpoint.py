@@ -537,11 +537,25 @@ def port_checkpoint(sd: dict, dec_layers: int | None = None,
     if "panoptic_decoder.nocls_token" in ctx:
         pd["nocls_token"] = np.asarray(ctx.get("panoptic_decoder.nocls_token"))
 
+    def _require_depth(depth: int, module: str, pattern: str):
+        # A module prefix present with zero inferrable layers means the
+        # block naming drifted (e.g. `decoder.blocks` vs `dec_blocks`) —
+        # fail loudly with the expected pattern instead of crashing or
+        # silently skipping (VERDICT r2 #4).
+        if depth == 0:
+            raise KeyError((pattern.format(0),))
+
     if any(k.startswith("must3r_encoder.") for k in ctx.sd):
+        _require_depth(depth_enc, "must3r_encoder",
+                       "must3r_encoder." + blocks + ".{}.norm1.weight")
         ported["must3r_encoder"] = port_encoder(ctx, depth_enc)
     if any(k.startswith("must3r_decoder.") for k in ctx.sd):
+        _require_depth(depth_dec, "must3r_decoder",
+                       "must3r_decoder.dec_blocks.{}.norm1.weight")
         ported["must3r_decoder"] = port_memory_decoder(ctx, depth_dec)
     if any(k.startswith("dino_encoder.") for k in ctx.sd):
+        _require_depth(depth_dino, "dino_encoder",
+                       "dino_encoder.dinov2.encoder.layer.{}.norm1.weight")
         ported["dino_encoder"] = port_dino(ctx, depth_dino)
 
     report = {"ported_keys": len(ctx.used), "total_keys": len(ctx.sd),

