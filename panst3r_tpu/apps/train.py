@@ -243,21 +243,23 @@ def main(argv=None):
                 # class-embedding table: serving (apps/demo, apps/serve)
                 # must pair trained weights with the SAME text embeddings
                 "cls_emb": np.asarray(cls_emb, np.float32)}
-        host_state = jax.tree_util.tree_map(np.asarray, state)
-        save_checkpoint(out_dir, "last", host_state, model.config, meta)
+        # The (possibly globally-sharded) device tree goes to orbax
+        # directly — every process participates, shards written in place
+        # (a host np.asarray copy is not even addressable for
+        # globally-sharded arrays on >1 process).
+        save_checkpoint(out_dir, "last", state, model.config, meta)
         if exp.keep_freq and epoch % exp.keep_freq == 0:
-            save_checkpoint(out_dir, str(epoch), host_state, model.config,
+            save_checkpoint(out_dir, str(epoch), state, model.config,
                             meta)
-        with (out_dir / "log.txt").open("a") as f:
-            f.write(json.dumps({"epoch": epoch,
-                                **{f"train_{k}": v
-                                   for k, v in stats.items()}}) + "\n")
+        if dist.is_main_process():   # reference save_on_master analog
+            with (out_dir / "log.txt").open("a") as f:
+                f.write(json.dumps({"epoch": epoch,
+                                    **{f"train_{k}": v
+                                       for k, v in stats.items()}}) + "\n")
 
     print(f"Training time {time.time() - t0:.1f}s")
     # final checkpoint without optimizer state (reference io.py:44-57)
-    save_checkpoint(out_dir, "final",
-                    jax.tree_util.tree_map(np.asarray, state.params),
-                    model.config,
+    save_checkpoint(out_dir, "final", state.params, model.config,
                     {"epoch": exp.train.epochs, "classes": classes,
                      "cls_emb": np.asarray(cls_emb, np.float32)})
 

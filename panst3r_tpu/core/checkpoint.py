@@ -23,13 +23,22 @@ from panst3r_tpu.core import config as cfg
 
 def save_checkpoint(directory: str | Path, name: str, tree: Any,
                     model_config: Any = None, meta: Optional[dict] = None):
-    """Save a pytree + config/meta under ``directory/name``."""
+    """Save a pytree + config/meta under ``directory/name``.
+
+    Multi-host contract: call from EVERY process with the (possibly
+    globally-sharded) device tree — orbax coordinates the shard writes;
+    the config/meta sidecar files are written by process 0 only (the
+    reference's ``save_on_master`` analog, engine/io.py:24)."""
+    import jax
+
     directory = Path(directory).absolute()
     directory.mkdir(parents=True, exist_ok=True)
     path = directory / name
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path / "state", tree, force=True)
     ckptr.wait_until_finished()
+    if jax.process_index() != 0:
+        return
     if model_config is not None:
         (path / "config.json").write_text(
             json.dumps(cfg.to_dict(model_config), indent=2))

@@ -163,7 +163,15 @@ class LoggerList(Logger):
 
 
 def build_logger(kind: str, output_dir) -> Logger:
-    """Logger selection (reference train.py:256-264)."""
+    """Logger selection (reference train.py:256-264).
+
+    Multi-host: only process 0 writes (reference rank-gates its logger
+    construction the same way, train.py:257); other ranks get a no-op
+    LoggerList so call sites stay rank-agnostic."""
+    import jax
+
+    if jax.process_index() != 0:
+        return LoggerList([])
     loggers: list[Logger] = [JsonlLogger(output_dir)]
     backend = {"tensorboard": TBLogger, "wandb": WandbLogger,
                "mlflow": MLFlowLogger}.get(kind)

@@ -101,6 +101,35 @@ class SiglipTextTower(nn.Module):
         return pooled, x
 
 
+# SigLIP2 text tower (google/siglip2-base-*): architecturally identical
+# to SigLIP (same SiglipTextTransformer), trained with the multilingual
+# Gemma tokenizer — only vocab size and tokenization differ
+# (reference text_encoder.py:8-15, Siglip2TextModel at :54-55).
+SIGLIP2_CONFIG = SiglipTextConfig(vocab_size=256000)
+
+
+def tokenize_siglip2(texts: Sequence[str], spm, max_len: int = 64,
+                     bos_id: int = 2, pad_id: int = 0,
+                     add_eos: bool = False):
+    """Gemma-tokenizer pipeline used by Siglip2Processor: [BOS] + pieces,
+    truncate/pad to max_length=64 with the pad token.  (Gemma defaults:
+    BOS yes, EOS no — ``add_eos`` exposed in case a checkpoint's
+    tokenizer_config differs.)  Returns (ids, attention_mask)."""
+    import numpy as np
+
+    ids_all, mask_all = [], []
+    budget = max_len - 1 - int(add_eos)
+    for t in texts:
+        ids = [bos_id] + list(spm.encode(t))[:budget]
+        if add_eos:
+            ids.append(1)
+        mask = [1] * len(ids) + [0] * (max_len - len(ids))
+        ids = ids + [pad_id] * (max_len - len(ids))
+        ids_all.append(ids)
+        mask_all.append(mask)
+    return (np.asarray(ids_all, np.int32), np.asarray(mask_all, np.int32))
+
+
 _PUNCT = re.compile(f"[{re.escape(string.punctuation)}]")
 
 

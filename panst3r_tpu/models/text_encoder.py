@@ -7,10 +7,13 @@ tower (text_encoder.py:82-92), or a live tokenizer+tower for the demo.
 
 TPU design: the text tower runs rarely (vocab changes, not per step), so it
 is *not* part of the jitted graph.  The primary path is a precomputed
-embedding table keyed by class name (`set_vocab` / `embed`); a live HF tower
-(torch CPU) can be plugged in via ``tower_fn`` for open-vocab serving —
-kept outside the device graph, exactly like the reference frees the tower
-after `set_vocab`.
+embedding table keyed by class name (`set_vocab` / `embed`); live
+open-vocab serving plugs a tower in via ``tower_fn`` — torch-free native
+flax towers exist for ALL THREE reference options
+(models/siglip_text.NativeTextTower for siglip, the same tower with
+SIGLIP2_CONFIG + tokenize_siglip2 for siglip2,
+models/clip_text.NativeClipTower for clip); `_hf_tower` below remains the
+torch/HF fallback when only an HF checkpoint directory is at hand.
 """
 from __future__ import annotations
 

@@ -368,6 +368,31 @@ def port_siglip_text(ctx: Port, layers: int = 12,
     return out
 
 
+def port_clip_text(ctx: Port, layers: int = 12,
+                   prefix: str = "text_model") -> dict:
+    """HF CLIPTextModel → models/clip_text.ClipTextTower.
+
+    Same block naming as SigLIP (q|k|v|out_proj, layer_norm1/2, mlp
+    fc1/fc2) but no pooling head — CLIP pools at the EOS position."""
+    out: dict = {}
+    _set(out, ("token_embedding",),
+         ctx.get(f"{prefix}.embeddings.token_embedding.weight"))
+    _set(out, ("position_embedding",),
+         ctx.get(f"{prefix}.embeddings.position_embedding.weight"))
+    ctx.ignore(f"{prefix}.embeddings.position_ids")
+    for i in range(layers):
+        L = f"{prefix}.encoder.layers.{i}"
+        blk = (f"layer_{i}",)
+        _ln(ctx, out, blk + ("layer_norm1",), f"{L}.layer_norm1")
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(ctx, out, blk + (n,), f"{L}.self_attn.{n}")
+        _ln(ctx, out, blk + ("layer_norm2",), f"{L}.layer_norm2")
+        _linear(ctx, out, blk + ("fc1",), f"{L}.mlp.fc1")
+        _linear(ctx, out, blk + ("fc2",), f"{L}.mlp.fc2")
+    _ln(ctx, out, ("final_layer_norm",), f"{prefix}.final_layer_norm")
+    return out
+
+
 def port_input_mixer(ctx: Port, num_layers: int = 3, num_heads: int = 12,
                      prefix: str = "panoptic_decoder.input_mixer") -> dict:
     """InputMixer (source on disk: model/input_mixer.py:8-29)."""
