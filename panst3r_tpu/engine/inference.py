@@ -527,14 +527,25 @@ class InferenceEngine:
             # id map (exact for integer ids; conf is approximate at
             # boundaries).  "full" reproduces the reference exactly
             # (sigmoid masks bilinearly upsampled BEFORE the argmax,
-            # postprocess.py:18-27).
+            # postprocess.py:18-27).  "hybrid": fusion AND the pan id map
+            # at full resolution (bit-exact with "full"), but the conf
+            # plane — already lossy (8-bit quantized) — ships 2x2
+            # mean-pooled, cutting the wire 3.15 MB -> 1.97 MB per
+            # 8-view scene; on slow host links (the tunneled runtime
+            # here sustains ~30 MB/s device->host) that moves serving
+            # from link-bound to compute-bound.
             fh, fw = ((out["pred_masks"].shape[-2:])
                       if fusion_res == "mask" else (H, W))
             pan, conf, seg_ids, labels, selected = _fusion_full(
                 out["pred_logits"][None].astype(jnp.float32),
                 out["pred_masks"][None].astype(jnp.float32),
                 (fh, fw), label_mode, 0.1, None, 0.25, 0.5, niters, 0.1)
-            conf_q = jnp.clip(conf[0] * 255.0, 0, 255)
+            conf_hw = conf[0]
+            if fusion_res == "hybrid":
+                Vv = conf_hw.shape[0]
+                conf_hw = conf_hw.reshape(Vv, fh // 2, 2, fw // 2, 2)
+                conf_hw = conf_hw.mean(axis=(2, 4))
+            conf_q = jnp.clip(conf_hw * 255.0, 0, 255)
             parts = [
                 pan[0].astype(wdtype).reshape(-1),
                 conf_q.astype(wdtype).reshape(-1),
@@ -624,25 +635,36 @@ class InferenceEngine:
         {focals (V,), cam2world (V,4,4)} for ``with_cameras`` wires).
 
         Half-res wires (fusion_res="mask") are nearest-upsampled to the
-        bucket shape on the host (exact for the integer id map).
+        bucket shape on the host (exact for the integer id map); hybrid
+        wires (full-res pan, half-res conf) upsample only conf.
         """
         H, W = self.bucket.shape
         Q = self.model.config.panoptic.mask_transformer.num_queries
         cam_tail = 4 * (V + V * 16) if with_cameras else 0
-        n = (wire.size - 3 * Q - cam_tail - with_keyframes) // 2
-        h, w = (H, W) if n == V * H * W else (H // 2, W // 2)
-        assert n == V * h * w, f"wire size {wire.size} vs V={V} ({H},{W})"
-        pan = wire[:n].astype(np.int32).reshape(V, h, w)
-        conf = wire[n:2 * n].astype(np.float32).reshape(V, h, w) / 255.0
-        if (h, w) != (H, W):
-            pan = pan.repeat(H // h, axis=1).repeat(W // w, axis=2)
-            conf = conf.repeat(H // h, axis=1).repeat(W // w, axis=2)
-        seg_ids = wire[2 * n:2 * n + Q].astype(np.int32)
-        labels = wire[2 * n + Q:2 * n + 2 * Q].astype(np.int32)
-        selected = wire[2 * n + 2 * Q:2 * n + 3 * Q] != 0
+        body = wire.size - 3 * Q - cam_tail - with_keyframes
+        nf, nh = V * H * W, V * (H // 2) * (W // 2)
+        # full: pan+conf at (H, W); mask: both at (H/2, W/2); hybrid:
+        # pan at (H, W), conf at (H/2, W/2).  The three sizes are
+        # distinct (2nf / 2nh / nf+nh), so the layout is unambiguous.
+        layouts = {2 * nf: (nf, (H, W), nf, (H, W)),
+                   2 * nh: (nh, (H // 2, W // 2), nh, (H // 2, W // 2)),
+                   nf + nh: (nf, (H, W), nh, (H // 2, W // 2))}
+        assert body in layouts, f"wire size {wire.size} vs V={V} ({H},{W})"
+        np_, (ph, pw), nc, (ch, cw) = layouts[body]
+        pan = wire[:np_].astype(np.int32).reshape(V, ph, pw)
+        conf = (wire[np_:np_ + nc].astype(np.float32)
+                .reshape(V, ch, cw) / 255.0)
+        if (ph, pw) != (H, W):
+            pan = pan.repeat(H // ph, axis=1).repeat(W // pw, axis=2)
+        if (ch, cw) != (H, W):
+            conf = conf.repeat(H // ch, axis=1).repeat(W // cw, axis=2)
+        n2 = np_ + nc
+        seg_ids = wire[n2:n2 + Q].astype(np.int32)
+        labels = wire[n2 + Q:n2 + 2 * Q].astype(np.int32)
+        selected = wire[n2 + 2 * Q:n2 + 3 * Q] != 0
         out = {"pan": pan, "conf": conf, "seg_ids": seg_ids,
                "labels": labels, "selected": selected}
-        tail = 2 * n + 3 * Q
+        tail = n2 + 3 * Q
         if with_keyframes:
             out["keyframes"] = wire[tail:tail + with_keyframes].astype(
                 np.int32)

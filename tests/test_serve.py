@@ -85,6 +85,28 @@ def test_serve_wire_mask_res(rng):
     np.testing.assert_array_equal(dec["pan"], ref)
 
 
+def test_serve_wire_hybrid_res(rng):
+    """fusion_res='hybrid': pan bit-exact with the full-res wire, conf
+    2x2 mean-pooled then nearest-upsampled (wire is 37% smaller)."""
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+
+    full = np.asarray(eng.serve_device(images, portrait, cls_emb))
+    hyb = np.asarray(eng.serve_device(images, portrait, cls_emb,
+                                      fusion_res="hybrid"))
+    assert hyb.size == full.size - 3 * V * (H // 2) * (W // 2)
+    dec_f = eng.unpack_wire(full, V)
+    dec_h = eng.unpack_wire(hyb, V)
+    np.testing.assert_array_equal(dec_h["pan"], dec_f["pan"])
+    np.testing.assert_array_equal(dec_h["seg_ids"], dec_f["seg_ids"])
+    np.testing.assert_array_equal(dec_h["labels"], dec_f["labels"])
+    np.testing.assert_array_equal(dec_h["selected"], dec_f["selected"])
+    # conf: mean-pool the full-res plane, quantize, upsample
+    cf = dec_f["conf"].reshape(V, H // 2, 2, W // 2, 2).mean((2, 4))
+    cf = cf.repeat(2, axis=1).repeat(2, axis=2)
+    np.testing.assert_allclose(dec_h["conf"], cf, atol=2.0 / 255 + 1e-6)
+
+
 def test_serve_wire_retrieval_keyframes(rng):
     """keyframe_mode='retrieval' computes keyframes ON DEVICE inside the
     one-program wire; result must match the staged pipeline with the host
