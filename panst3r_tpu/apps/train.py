@@ -68,6 +68,12 @@ class ExperimentConfig:
     eval_every: int = 0
     eval_scenes: int = 8
     eval_keyframes: int = 4
+    # Concurrent AOT compile of all resolution buckets before epoch 0
+    # (engine/train.precompile_step_fns) — the 5-bucket reference recipe
+    # otherwise serializes ~40-50 s of XLA backend time per bucket into
+    # the first epoch's first steps.
+    precompile: bool = True
+    compilation_cache: str | None = ".jax_cache"
 
 
 def build_model(preset: str) -> PanSt3R:
@@ -100,6 +106,16 @@ def main(argv=None):
     out_dir = Path(exp.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     cfglib.save_yaml(exp, out_dir / "config.yaml")
+
+    # Persistent compilation cache: per-bucket step compiles (~40-50 s
+    # XLA each) become one-time costs across runs, and the concurrent
+    # precompile below hands its executables to the first real steps
+    # through this cache.
+    if exp.compilation_cache:
+        cache = Path(exp.compilation_cache).expanduser()
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from panst3r_tpu.core import distributed as dist
 
@@ -184,6 +200,13 @@ def main(argv=None):
     step_fns = {hw: make_train_step(model, tx, exp.train.loss, g,
                                     amp=exp.train.amp, train_mask=tmask)
                 for hw, g in grids.items()}
+    if exp.precompile and len(step_fns) > 1:
+        from panst3r_tpu.engine.train import precompile_step_fns
+        with mesh:
+            dt = precompile_step_fns(
+                step_fns, state, cls_emb, mesh, exp.train.batch_size,
+                V, exp.train.max_instances, cls_emb.shape[0])
+        print(f"precompiled {len(step_fns)} bucket steps in {dt:.0f}s")
 
     start_epoch = 0
     last = latest_checkpoint(out_dir) if True else None

@@ -238,6 +238,82 @@ def shard_batch(batch: dict, mesh) -> dict:
     return jax.tree_util.tree_map(put, batch)
 
 
+def step_arg_specs(state: TrainState, cls_embeddings, mesh,
+                   batch_size: int, num_views: int, max_instances: int,
+                   ncls: int, hw: tuple[int, int]):
+    """(state, batch, cls, key) ShapeDtypeStructs matching a real
+    ``train_one_epoch`` call at resolution ``hw`` EXACTLY.
+
+    Shardings must reproduce the real call or the lowered HLO differs
+    and the persistent cache misses: batch leaves get ``shard_batch``'s
+    NamedSharding over DATA_AXIS; state/cls leaves keep explicit mesh
+    placements (e.g. tensor-parallel params from core/tp.apply_tp) but
+    uncommitted single-device leaves stay UNANNOTATED (sharding=None) —
+    the real call lowers them without sdy.sharding attrs, and any
+    explicit annotation (even mesh-replicated) changes the HLO text
+    (verified by lowered-text diff, test_train.py).
+    """
+    def arr_spec(a):
+        shard = (a.sharding if isinstance(a, jax.Array)
+                 and isinstance(a.sharding, NamedSharding) else None)
+        return jax.ShapeDtypeStruct(jnp.shape(a), a.dtype, sharding=shard)
+
+    H, W = hw
+    B, V, T = batch_size, num_views, max_instances
+
+    def sharded(shape, dtype):
+        s = NamedSharding(mesh, P(DATA_AXIS, *([None] * (len(shape) - 1))))
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=s)
+
+    batch = {
+        "images": sharded((B, V, H, W, 3), jnp.float32),
+        "portrait": sharded((B, V), jnp.bool_),
+        "targets": Targets(
+            labels=sharded((B, T), jnp.int32),
+            masks=sharded((B, T, V, H, W), jnp.float32),
+            valid=sharded((B, T), jnp.bool_),
+            output_mask=sharded((B, ncls), jnp.bool_)),
+    }
+    state_spec = jax.tree_util.tree_map(arr_spec, state)
+    return (state_spec, batch, arr_spec(jnp.asarray(cls_embeddings)),
+            arr_spec(jax.random.PRNGKey(0)))
+
+
+def precompile_step_fns(step_fns: dict, state: TrainState, cls_embeddings,
+                        mesh, batch_size: int, num_views: int,
+                        max_instances: int, ncls: int,
+                        workers: Optional[int] = None) -> float:
+    """AOT-compile every resolution bucket's train step CONCURRENTLY.
+
+    The reference pays no per-resolution compile (eager torch); here each
+    bucket is one XLA program at ~40-50 s backend time, so a 5-bucket
+    recipe serializes minutes of compile into the first epoch.  XLA
+    compilation is C++ and releases the GIL, so lowering each bucket's
+    step to its exact (shape, dtype, sharding) signature
+    (``step_arg_specs``) and compiling in a thread pool overlaps the
+    backend work; with the persistent compilation cache enabled the real
+    first step per bucket then deserializes instead of compiling.
+    Tracing (python) stays serial.
+
+    Returns wall seconds spent.
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    # Trace/lower serially (python-bound), compile concurrently.
+    lowered = {hw: fn.lower(*step_arg_specs(state, cls_embeddings, mesh,
+                                            batch_size, num_views,
+                                            max_instances, ncls, hw))
+               for hw, fn in step_fns.items()}
+    with ThreadPoolExecutor(workers or len(lowered)) as pool:
+        futures = {hw: pool.submit(lo.compile)
+                   for hw, lo in lowered.items()}
+        for hw, fut in futures.items():
+            fut.result()
+    return time.time() - t0
+
+
 def train_one_epoch(state: TrainState, step_fn, data_iter, cls_embeddings,
                     mesh, epoch: int, seed: int, log_writer=None,
                     print_freq: int = 20, steps_per_epoch: int = 0,

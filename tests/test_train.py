@@ -94,6 +94,45 @@ def test_train_step_dp_mesh(rng):
     assert losses[-1] < losses[0]
 
 
+def test_precompile_step_fns_matches_real_call(rng):
+    """Concurrent AOT bucket precompile: the spec-lowered HLO must be
+    byte-identical to the real call's lowering (that identity is what
+    makes the first real step a persistent-cache hit), and the real step
+    must run cleanly afterwards."""
+    from panst3r_tpu.engine.train import (precompile_step_fns,
+                                          step_arg_specs)
+
+    mesh = build_mesh(MeshSpec(data=8, mem=1))
+    model = tiny_model()
+    B = 8
+    cls_emb = jnp.asarray(rng.standard_normal((NCLS, 24)), jnp.float32)
+    batch = make_batch(rng, B)
+    params = model.init(jax.random.PRNGKey(0), batch["images"][:1],
+                        batch["portrait"][:1], cls_emb, GRID)
+    tcfg = TrainConfig(lr=1e-3, accum_iter=1, epochs=2, warmup_epochs=0,
+                       loss=PanopticLossConfig(num_points=32))
+    tx, _ = build_optimizer(tcfg, 8, steps_per_epoch=4)
+    state = TrainState.create(params, tx)
+    step_fns = {(H, W): make_train_step(model, tx, tcfg.loss, GRID,
+                                        donate=False)}
+
+    with mesh:
+        fn = step_fns[(H, W)]
+        specs = step_arg_specs(state, cls_emb, mesh, B, V, T, NCLS, (H, W))
+        sbatch = shard_batch(batch, mesh)
+        spec_hlo = fn.lower(*specs).as_text()
+        real_hlo = fn.lower(state, sbatch, cls_emb,
+                            jax.random.PRNGKey(0)).as_text()
+        assert spec_hlo == real_hlo
+
+        dt = precompile_step_fns(step_fns, state, cls_emb, mesh, B, V,
+                                 T, NCLS)
+        assert dt >= 0
+        state2, loss, _ = fn(state, sbatch, cls_emb, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+
+
 def test_frozen_submodules_receive_zero_grads(rng):
     model = tiny_model()
     B = 1
