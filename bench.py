@@ -117,15 +117,17 @@ def main():
         np.asarray(wire)  # warm compile
         best = 0.0
         for _ in range(loops):
-            pending = []
+            # serve_stream: the production pipelined pattern — fetcher
+            # thread drains downloads while the main thread uploads +
+            # launches (most stable of the measured loop shapes,
+            # PERFORMANCE.md round-3 link investigation).
             t0 = time.perf_counter()
-            for s in range(nthr):
-                pending.append(engine.serve_device(
-                    scenes[s], port_dev, cls_dev, **serve_kw))
-                if s >= 1:
-                    w = np.asarray(pending[s - 1])
-                    assert engine.unpack_wire(w, V)["pan"].shape[0] == V
-            np.asarray(pending[-1])
+            n_out = 0
+            for res in engine.serve_stream(scenes, port_dev, cls_dev,
+                                           **serve_kw):
+                assert res["pan"].shape[0] == V
+                n_out += 1
+            assert n_out == nthr
             best = max(best, nthr * V / (time.perf_counter() - t0))
         return best
 

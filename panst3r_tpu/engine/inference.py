@@ -627,6 +627,91 @@ class InferenceEngine:
         return self._serve_cache[key](self.params, jnp.asarray(scenes),
                                       jnp.asarray(portrait), cls_emb)
 
+    def serve_stream(self, scenes, portrait, cls_embeddings,
+                     unpack: bool = True, queue_depth: int = 2,
+                     **serve_kw):
+        """Pipelined serving over an iterable of scenes — the production
+        throughput pattern.
+
+        The main thread uploads + launches one wire program per scene;
+        a fetcher thread drains device→host downloads concurrently, so
+        on slow host links (PERFORMANCE.md "host-link pathology") the
+        fetch of scene s-1 overlaps the upload+compute of scene s.
+        ``queue_depth`` bounds in-flight scenes (device memory).
+
+        Yields per-scene dicts (``unpack_wire``) in input order, or raw
+        wire ``np.ndarray`` buffers with ``unpack=False``.  ``portrait``
+        and ``cls_embeddings`` are staged on device once.
+        """
+        import queue as _queue
+        import threading
+
+        port_dev = jnp.asarray(portrait)
+        cls_emb = jnp.asarray(cls_embeddings)
+        if self.amp:
+            cls_emb = cls_emb.astype(jnp.bfloat16)
+        V = int(port_dev.shape[0])
+        kf = serve_kw.get("keyframe_mode", "linspace")
+        unpack_kw = {
+            "with_cameras": serve_kw.get("with_cameras", False),
+            "with_keyframes": (min(self.num_keyframes, V)
+                               if kf == "retrieval" else 0),
+        }
+
+        wires: _queue.Queue = _queue.Queue(maxsize=max(1, queue_depth))
+        out: _queue.Queue = _queue.Queue()
+        _done = object()
+
+        def fetcher():
+            while True:
+                w = wires.get()
+                if w is _done:
+                    out.put(_done)
+                    return
+                try:
+                    host = np.asarray(w)
+                    out.put(self.unpack_wire(host, V, **unpack_kw)
+                            if unpack else host)
+                except BaseException as e:  # re-raised at the consumer
+                    out.put(("__error__", e))
+                    return
+
+        th = threading.Thread(target=fetcher, daemon=True)
+        th.start()
+
+        def drain(item):
+            if isinstance(item, tuple) and item and item[0] == "__error__":
+                raise item[1]
+            return item
+
+        try:
+            for images in scenes:
+                wires.put(self.serve_device(images, port_dev, cls_emb,
+                                            **serve_kw))
+                while not out.empty():
+                    yield drain(out.get_nowait())
+            wires.put(_done)
+            while True:
+                item = out.get()
+                if item is _done:
+                    break
+                yield drain(item)
+        finally:
+            # Consumer abandoned the generator or the fetcher errored:
+            # unblock the (daemon) fetcher without risking a deadlock on
+            # a full queue — drain finished results until the stop token
+            # fits.
+            while True:
+                try:
+                    wires.put_nowait(_done)
+                    break
+                except _queue.Full:
+                    try:
+                        out.get(timeout=30)
+                    except _queue.Empty:
+                        break
+            th.join(timeout=60)
+
     def unpack_wire(self, wire: np.ndarray, V: int,
                     with_cameras: bool = False,
                     with_keyframes: int = 0) -> dict:

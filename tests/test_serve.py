@@ -107,6 +107,32 @@ def test_serve_wire_hybrid_res(rng):
     np.testing.assert_allclose(dec_h["conf"], cf, atol=2.0 / 255 + 1e-6)
 
 
+def test_serve_stream_matches_sequential(rng):
+    """serve_stream (pipelined uploader/fetcher threads) must yield the
+    same decoded results, in order, as sequential serve_device calls."""
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+    scenes = [np.ascontiguousarray(np.roll(images, s + 1, axis=0))
+              for s in range(4)]
+
+    seq = [eng.unpack_wire(np.asarray(
+        eng.serve_device(s, portrait, cls_emb, fusion_res="hybrid")), V)
+        for s in scenes]
+    stream = list(eng.serve_stream(scenes, portrait, cls_emb,
+                                   fusion_res="hybrid"))
+    assert len(stream) == len(seq)
+    for a, b in zip(stream, seq):
+        np.testing.assert_array_equal(a["pan"], b["pan"])
+        np.testing.assert_array_equal(a["conf"], b["conf"])
+        np.testing.assert_array_equal(a["selected"], b["selected"])
+
+    # early abandon must not deadlock
+    gen = eng.serve_stream(scenes, portrait, cls_emb, fusion_res="hybrid")
+    first = next(gen)
+    gen.close()
+    np.testing.assert_array_equal(first["pan"], seq[0]["pan"])
+
+
 def test_serve_wire_retrieval_keyframes(rng):
     """keyframe_mode='retrieval' computes keyframes ON DEVICE inside the
     one-program wire; result must match the staged pipeline with the host

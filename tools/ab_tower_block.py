@@ -63,8 +63,14 @@ def main():
     def gelu_erf(x):
         return jax.nn.gelu(x, approximate=False)
 
-    def mlp(x, act=gelu_erf, barrier=False, f32=False):
-        h = ln(x) @ w_fc1 + b_fc1
+    def mlp(x, act=gelu_erf, barrier=False, f32=False, ln_barrier=False):
+        n = ln(x)
+        if ln_barrier:
+            # Materialize the normalized operand: without this the fc1
+            # matmul's operand fusion re-applies the LN math per output
+            # tile (same pathology as the GELU fold into fc2).
+            n = jax.lax.optimization_barrier(n)
+        h = n @ w_fc1 + b_fc1
         if f32:
             h = act(h.astype(jnp.float32)).astype(x.dtype)
         else:
@@ -89,8 +95,11 @@ def main():
 
     tabs = rope2d_tables(pos, C // H, 100.0)
 
-    def attn_block_tabs(x):
-        qkv = ln(x) @ w_qkv + b_qkv
+    def attn_block_tabs(x, ln_barrier=False):
+        n = ln(x)
+        if ln_barrier:
+            n = jax.lax.optimization_barrier(n)
+        qkv = n @ w_qkv + b_qkv
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def sh(t):
@@ -117,6 +126,12 @@ def main():
         "full": lambda x: mlp(attn_block(x)),
         "full-fast": lambda x: mlp(attn_block_tabs(x), act=fast_gelu,
                                    barrier=True),
+        "mlp-lnb": lambda x: mlp(x, act=fast_gelu, barrier=True,
+                                 ln_barrier=True),
+        "attn-tabs-lnb": lambda x: attn_block_tabs(x, ln_barrier=True),
+        "full-fast-lnb": lambda x: mlp(attn_block_tabs(x, ln_barrier=True),
+                                       act=fast_gelu, barrier=True,
+                                       ln_barrier=True),
     }
 
     def scan_of(fn):
