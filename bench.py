@@ -79,12 +79,20 @@ def main():
     # runs: host-link throughput fluctuates heavily under the tunnel; the
     # minimum is the least-congested (truest) measurement.
     runs = int(os.environ.get("BENCH_RUNS", "5"))
-    wire0 = engine.serve_device(images, portrait, cls_emb)  # warm compile
-    np.asarray(wire0)
+    # serve_latency_device: chunked uploads overlap chunked tower runs,
+    # one tail program, one wire fetch — same wire semantics as the
+    # one-program serve_device (test_serve_latency_matches_serve_device).
+    # Hybrid fusion: the pan id map stays bit-exact with the full-res
+    # wire; only the (already 8-bit) conf plane ships 2x2 pooled.
+    lat_kw = dict(fusion_res="hybrid")
+    wire0 = engine.serve_latency_device(images, portrait, cls_emb,
+                                        **lat_kw)
+    np.asarray(wire0)  # warm compile
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        w = np.asarray(engine.serve_device(images, portrait, cls_emb))
+        w = np.asarray(engine.serve_latency_device(images, portrait,
+                                                   cls_emb, **lat_kw))
         res = engine.unpack_wire(w, V)
         assert res["pan"].shape[0] == V
         times.append(time.perf_counter() - t0)

@@ -301,12 +301,10 @@ class InferenceEngine:
           engine/retrieval.py::select_keyframes_retrieval_device) — the
           serve-wire analog of the staged path's use_retrieval.
         """
-        model, grid, n_tokens = self.model, self.grid, self.n_tokens
-        c = model.config
+        model = self.model
         amp = self.amp
         cast = lambda x: _image_cast(x, amp)  # noqa: E731
-        retrieval = keyframe_mode == "retrieval"
-        dtype = jnp.bfloat16 if self.amp else jnp.float32
+        tail = self._make_pipeline_tail(V, K, keyframe_mode)
 
         def pipeline(params, images, portrait, cls_emb):
             images = cast(images)
@@ -315,7 +313,22 @@ class InferenceEngine:
             x, pos = x[:, 0], pos[:, 0]
             dino = model.apply(params, images[:, None],
                                method=PanSt3R.encode_dino)[:, 0]
+            return tail(params, images, x, pos, dino, portrait, cls_emb)
 
+        return jax.jit(pipeline)
+
+    def _make_pipeline_tail(self, V: int, K: int,
+                            keyframe_mode: str = "linspace"):
+        """Pipeline AFTER the towers: keyframe selection → memory →
+        render → panoptic.  Takes cast images + encoder/DINO tokens, so
+        the latency path can overlap chunked uploads with chunked tower
+        runs and only this tail remains serial."""
+        model, grid, n_tokens = self.model, self.grid, self.n_tokens
+        c = model.config
+        retrieval = keyframe_mode == "retrieval"
+        dtype = jnp.bfloat16 if self.amp else jnp.float32
+
+        def tail(params, images, x, pos, dino, portrait, cls_emb):
             if retrieval:
                 from panst3r_tpu.engine.retrieval import \
                     select_keyframes_retrieval_device
@@ -370,7 +383,7 @@ class InferenceEngine:
                 "keyframes_dev": kf,
             }
 
-        return jax.jit(pipeline)
+        return tail
 
     def run_device(self, images: np.ndarray, portrait: np.ndarray,
                    cls_embeddings: np.ndarray,
@@ -504,17 +517,16 @@ class InferenceEngine:
     # single packed uint8/uint16 wire buffer, so a scene costs exactly
     # one upload, one launch, and one download.
 
-    def _make_serve(self, V: int, K: int, label_mode: str, niters: int,
-                    fusion_res: str, with_cameras: bool = False,
-                    keyframe_mode: str = "linspace"):
+    def _make_pack_wire(self, V: int, label_mode: str, niters: int,
+                        fusion_res: str, with_cameras: bool,
+                        keyframe_mode: str):
+        """Fusion + quantization + wire packing of a pipeline output."""
         from panst3r_tpu.engine.fusion import _fusion_full
 
-        fused = self._make_fused(V, K, keyframe_mode)
         H, W = self.bucket.shape
         Q = self.model.config.panoptic.mask_transformer.num_queries
 
-        def serve(params, images, portrait, cls_emb):
-            out = fused(params, images, portrait, cls_emb)
+        def pack(out, cls_emb):
             ncls = cls_emb.shape[0]
             # uint8 wire only when every id fits a byte — incl. view
             # indices when retrieval keyframes ride the wire.
@@ -574,7 +586,87 @@ class InferenceEngine:
                     .reshape(-1).astype(wdtype))
             return jnp.concatenate(parts)
 
+        return pack
+
+    def _make_serve(self, V: int, K: int, label_mode: str, niters: int,
+                    fusion_res: str, with_cameras: bool = False,
+                    keyframe_mode: str = "linspace"):
+        fused = self._make_fused(V, K, keyframe_mode)
+        pack = self._make_pack_wire(V, label_mode, niters, fusion_res,
+                                    with_cameras, keyframe_mode)
+
+        def serve(params, images, portrait, cls_emb):
+            return pack(fused(params, images, portrait, cls_emb), cls_emb)
+
         return serve
+
+    def _make_serve_tail(self, V: int, K: int, label_mode: str,
+                         niters: int, fusion_res: str,
+                         with_cameras: bool = False,
+                         keyframe_mode: str = "linspace"):
+        """Serve program CONSUMING pre-encoded tower outputs (latency
+        path): uploaded uint8 chunks + per-chunk encoder/DINO tokens →
+        packed wire.  The towers ran while later chunks uploaded."""
+        amp = self.amp
+        tail = self._make_pipeline_tail(V, K, keyframe_mode)
+        pack = self._make_pack_wire(V, label_mode, niters, fusion_res,
+                                    with_cameras, keyframe_mode)
+
+        def serve_tail(params, image_chunks, xs, poss, dinos, portrait,
+                       cls_emb):
+            images = _image_cast(jnp.concatenate(image_chunks), amp)
+            x = jnp.concatenate(xs)
+            pos = jnp.concatenate(poss)
+            dino = jnp.concatenate(dinos)
+            out = tail(params, images, x, pos, dino, portrait, cls_emb)
+            return pack(out, cls_emb)
+
+        return serve_tail
+
+    def serve_latency_device(self, images, portrait, cls_embeddings,
+                             num_keyframes: Optional[int] = None,
+                             label_mode: str = "sigmoid", niters: int = 2,
+                             fusion_res: str = "full",
+                             with_cameras: bool = False,
+                             keyframe_mode: str = "linspace"):
+        """Single-scene latency path: chunked uploads overlap chunked
+        tower (encoder + DINO) programs, then ONE tail program (memory →
+        render → panoptic → fusion → wire).
+
+        Identical wire semantics to :meth:`serve_device`; latency drops
+        because the ~half of device compute that is the towers runs
+        while the remaining image chunks are still uploading, instead of
+        waiting for the full (V, H, W, 3) upload.
+        """
+        V = images.shape[0]
+        K = min(num_keyframes or self.num_keyframes, V)
+        chunk = min(self.chunk, V)
+        cls_emb = jnp.asarray(cls_embeddings)
+        if self.amp:
+            cls_emb = cls_emb.astype(jnp.bfloat16)
+        img_chunks, xs, poss, dinos = [], [], [], []
+        for s in range(0, V, chunk):
+            img = jnp.asarray(images[s:s + chunk])   # async chunk upload
+            n = img.shape[0]
+            x, pos = self._encode_batch(self.params, img, n)
+            if n == 1:  # encode_batch returns unbatched for n == 1
+                x, pos = x[None], pos[None]
+            dino = self._dino_batch(self.params, img, n)
+            img_chunks.append(img)
+            xs.append(x)
+            poss.append(pos)
+            dinos.append(dino)
+        key = ("lat", V, K, chunk, label_mode, niters, fusion_res,
+               with_cameras, keyframe_mode)
+        if key not in self._serve_cache:
+            self._serve_cache[key] = jax.jit(
+                self._make_serve_tail(V, K, label_mode, niters,
+                                      fusion_res, with_cameras,
+                                      keyframe_mode))
+        return self._serve_cache[key](self.params, tuple(img_chunks),
+                                      tuple(xs), tuple(poss),
+                                      tuple(dinos), jnp.asarray(portrait),
+                                      cls_emb)
 
     def serve_device(self, images, portrait, cls_embeddings,
                      num_keyframes: Optional[int] = None,

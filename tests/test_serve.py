@@ -107,6 +107,32 @@ def test_serve_wire_hybrid_res(rng):
     np.testing.assert_allclose(dec_h["conf"], cf, atol=2.0 / 255 + 1e-6)
 
 
+def test_serve_latency_matches_serve_device(rng):
+    """serve_latency_device (chunked uploads overlapped with chunked
+    tower programs + one tail program) must produce the same wire
+    semantics as the one-program serve_device."""
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+
+    full = eng.unpack_wire(
+        np.asarray(eng.serve_device(images, portrait, cls_emb)), V)
+    lat = eng.unpack_wire(
+        np.asarray(eng.serve_latency_device(images, portrait, cls_emb)), V)
+    np.testing.assert_array_equal(lat["pan"], full["pan"])
+    np.testing.assert_array_equal(lat["seg_ids"], full["seg_ids"])
+    np.testing.assert_array_equal(lat["labels"], full["labels"])
+    np.testing.assert_array_equal(lat["selected"], full["selected"])
+    np.testing.assert_allclose(lat["conf"], full["conf"],
+                               atol=1.0 / 255 + 1e-6)
+
+    # options ride through identically (hybrid fusion + cameras)
+    w = np.asarray(eng.serve_latency_device(
+        images, portrait, cls_emb, fusion_res="hybrid", with_cameras=True))
+    dec = eng.unpack_wire(w, V, with_cameras=True)
+    np.testing.assert_array_equal(dec["pan"], full["pan"])
+    assert dec["focals"].shape == (V,)
+
+
 def test_serve_stream_matches_sequential(rng):
     """serve_stream (pipelined uploader/fetcher threads) must yield the
     same decoded results, in order, as sequential serve_device calls."""
