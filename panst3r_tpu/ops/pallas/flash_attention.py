@@ -24,12 +24,15 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from panst3r_tpu.ops.attention import dot_product_attention
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
+_LOG2E = float(np.log2(np.e))
+_LN2 = float(np.log(2.0))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -98,6 +101,13 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, kbias_ref,
     # bf16 inputs, f32 accumulation — same contraction precision as the
     # XLA-native path (f32×f32 MXU rate is ~4x lower for no extra model
     # accuracy: inputs are bf16 upstream).
+    #
+    # Softmax runs in the exp2 domain: ``scale`` arrives pre-multiplied
+    # by log2(e) (and biases pre-scaled, _flash_fwd), so the per-element
+    # transcendental is the VPU-native exp2 with no log2e multiply pass.
+    # The kernel is VPU-bound at the big cross-attention shapes (the
+    # score tile sees ~7 elementwise passes vs 2 MXU ops), so every
+    # removed pass is ~12% of kernel time.
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
 
@@ -113,12 +123,14 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, kbias_ref,
     l_prev = l_scr[:, :, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)   # (G, bq, 1)
     m_new = jnp.maximum(m_prev, m_cur)
-    # Guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)=1.
+    # Guard fully-masked rows: exp2(NEG_INF - NEG_INF) would be 2^0 = 1.
     safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
-    p = jnp.exp(s - safe_m)                      # (G, bq, bk)
-    p = jnp.where(s <= _NEG_INF / 2, 0.0, p)
-    alpha = jnp.exp(m_prev - safe_m)
-    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
+    # No post-masking needed on p/alpha: masked scores are ≤ f32-min (or
+    # -inf after the log2e bias prescale), safe_m ≥ that, and
+    # exp2(x ≤ -3e38) underflows to exactly 0.0 in f32 — the explicit
+    # jnp.where passes this replaced cost a full score-tile pass each.
+    p = jnp.exp2(s - safe_m)                     # (G, bq, bk)
+    alpha = jnp.exp2(m_prev - safe_m)
 
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     acc = acc_scr[...] * alpha + jax.lax.dot_general(
@@ -136,8 +148,12 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, kvalid_ref, kbias_ref,
         o_ref[...] = (acc_scr[...] / l).astype(o_ref.dtype)
         if lse_ref is not None:
             # log-sum-exp per row (fully-masked rows → -inf sentinel).
+            # m is in the exp2 domain (log2 units) — convert back so the
+            # LSE contract stays NATURAL-log (the flash backward and any
+            # external consumer expect ln Σ exp(s·scale)).
             m = m_scr[:, :, :1]
-            lse = jnp.where(m <= _NEG_INF / 2, _NEG_INF, m + jnp.log(l))
+            lse = jnp.where(m <= _NEG_INF / 2, _NEG_INF,
+                            m * _LN2 + jnp.log(l))
             lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape)
 
 
@@ -164,6 +180,14 @@ def _flash_fwd(q, k, v, bias, kv_valid, scale, rope=None,
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     dtype = q.dtype
+
+    # exp2-domain softmax (see _kernel): fold log2(e) into the score
+    # scale and pre-scale additive biases to match.  -f32max biases
+    # overflow to -inf under the multiply — exp2 still underflows to
+    # exactly 0, which is the intent.
+    scale = scale * _LOG2E
+    if bias is not None:
+        bias = bias.astype(jnp.float32) * _LOG2E
 
     kv_bias = None
     if bias is not None and bias.ndim == 4 and bias.shape[1] == 1 \
