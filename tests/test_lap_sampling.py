@@ -49,6 +49,24 @@ def test_point_sample_matches_grid_sample(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_point_sample_shared_bit_exact(rng):
+    """point_sample_shared (transposed row-gather, the TPU-fast matcher
+    form) must equal point_sample with tiled per-row coords EXACTLY —
+    same four taps, same weights, same summation order.  Includes
+    out-of-bounds points (zero-padding semantics)."""
+    from panst3r_tpu.ops.sampling import point_sample_shared
+
+    K, H, W, P = 7, 16, 24, 64
+    feats = rng.standard_normal((K, H, W)).astype(np.float32)
+    pts = (rng.random((P, 2)).astype(np.float32) * 1.2 - 0.1)  # some OOB
+
+    shared = np.asarray(point_sample_shared(jnp.asarray(feats),
+                                            jnp.asarray(pts)))
+    tiled = np.asarray(point_sample(
+        jnp.asarray(feats), jnp.tile(jnp.asarray(pts)[None], (K, 1, 1))))
+    np.testing.assert_array_equal(shared, tiled)
+
+
 def test_uncertain_point_coords_shapes(rng):
     logits = jnp.asarray(rng.standard_normal((4, 8, 12)), jnp.float32)
     pts = uncertain_point_coords(jax.random.PRNGKey(0), logits, 32, 3.0, 0.75)
