@@ -84,7 +84,10 @@ def main():
     # one-program serve_device (test_serve_latency_matches_serve_device).
     # Hybrid fusion: the pan id map stays bit-exact with the full-res
     # wire; only the (already 8-bit) conf plane ships 2x2 pooled.
-    lat_kw = dict(fusion_res="hybrid")
+    # chunk=2: towers start after the first 1.2 MB of upload (26.5 vs
+    # 25.1 fps at chunk=4).
+    lat_kw = dict(fusion_res="hybrid",
+                  chunk=int(os.environ.get("BENCH_LAT_CHUNK", "2")))
     wire0 = engine.serve_latency_device(images, portrait, cls_emb,
                                         **lat_kw)
     np.asarray(wire0)  # warm compile

@@ -60,10 +60,11 @@ class PanopticLossConfig:
     # Matcher cost sampling: "grid" integrates CE/dice over a bilinear
     # downsample to ~num_points cells (pure MXU resizes — no gathers);
     # "random" is the reference's shared uniform points
-    # (matcher.py:152-171).  Both estimate the same per-pixel integral;
-    # grid is the TPU default because XLA lowers the (V·Q, H·W)
-    # random-point gathers to scalar-speed code (~500 ms/step measured,
-    # see PERFORMANCE.md round 2).
+    # (matcher.py:152-171), evaluated via the transposed row-gather
+    # form (ops/sampling.py point_sample_shared — bit-exact, 27x the
+    # naive lane-gather lowering).  Both estimate the same per-pixel
+    # integral; grid remains the TPU default (random costs ~25% extra
+    # step time, PERFORMANCE.md round 3).
     matcher_sampling: str = "grid"
     # Mask-loss sampling: "grid" evaluates CE/dice over the same regular
     # ~num_points bilinear grid (no gathers); "random" is the reference's

@@ -628,7 +628,8 @@ class InferenceEngine:
                              label_mode: str = "sigmoid", niters: int = 2,
                              fusion_res: str = "full",
                              with_cameras: bool = False,
-                             keyframe_mode: str = "linspace"):
+                             keyframe_mode: str = "linspace",
+                             chunk: Optional[int] = None):
         """Single-scene latency path: chunked uploads overlap chunked
         tower (encoder + DINO) programs, then ONE tail program (memory →
         render → panoptic → fusion → wire).
@@ -640,7 +641,10 @@ class InferenceEngine:
         """
         V = images.shape[0]
         K = min(num_keyframes or self.num_keyframes, V)
-        chunk = min(self.chunk, V)
+        # Smaller chunks start the towers earlier behind the serial
+        # upload (chunk=2 measured 26.5 vs 25.1 fps at chunk=4); the
+        # engine batch chunk is the default.
+        chunk = min(chunk or self.chunk, V)
         cls_emb = jnp.asarray(cls_embeddings)
         if self.amp:
             cls_emb = cls_emb.astype(jnp.bfloat16)
