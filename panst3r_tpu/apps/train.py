@@ -201,20 +201,34 @@ def main(argv=None):
                                     amp=exp.train.amp, train_mask=tmask)
                 for hw, g in grids.items()}
     if exp.precompile and len(step_fns) > 1:
-        from panst3r_tpu.engine.train import precompile_step_fns
-        with mesh:
-            dt = precompile_step_fns(
-                step_fns, state, cls_emb, mesh, exp.train.batch_size,
-                V, exp.train.max_instances, cls_emb.shape[0])
-        print(f"precompiled {len(step_fns)} bucket steps in {dt:.0f}s")
+        # The AOT executables reach the real first steps THROUGH the
+        # persistent compilation cache (lower().compile() does not prime
+        # jit dispatch by itself — measured); without the cache the
+        # precompile would pay full compile time twice.
+        if exp.compilation_cache:
+            from panst3r_tpu.engine.train import precompile_step_fns
+            with mesh:
+                dt = precompile_step_fns(
+                    step_fns, state, cls_emb, mesh, exp.train.batch_size,
+                    V, exp.train.max_instances, cls_emb.shape[0])
+            print(f"precompiled {len(step_fns)} bucket steps in {dt:.0f}s")
+        else:
+            print("precompile skipped: compilation_cache is disabled "
+                  "(the AOT executables would be recompiled anyway)")
 
     start_epoch = 0
     last = latest_checkpoint(out_dir) if True else None
     if last:  # auto-resume (reference train.py:149-151,253-254)
-        tree, _, meta = load_checkpoint(out_dir, last,
-                                        jax.tree_util.tree_map(np.asarray,
-                                                               state))
-        state = jax.tree_util.tree_map(jnp.asarray, tree)
+        # Abstract restore template (shape/dtype/sharding) — np.asarray
+        # on the live tree would crash on globally-sharded arrays in
+        # multi-host runs ("spans non-addressable devices"); orbax
+        # restores each leaf straight onto its sharding.
+        abstract = jax.tree_util.tree_map(
+            lambda a: (jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                            sharding=a.sharding)
+                       if isinstance(a, jax.Array) else a), state)
+        tree, _, meta = load_checkpoint(out_dir, last, abstract)
+        state = tree
         start_epoch = int(meta.get("epoch", -1)) + 1
         print(f"resumed from epoch {start_epoch}")
 

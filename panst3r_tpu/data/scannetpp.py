@@ -46,11 +46,31 @@ class ScanNetppPanoptic(EasyDataset):
         self.num_views = num_views
         self.aug_crop = aug_crop
         self.seed = seed
-        # Randomized per-sample memory size (reference db_options
+        # Randomized per-sample memory-core size (reference db_options
         # min/max_memory_num_views, configs/base.yaml:38-41): the first M
-        # views of a tuple form the covisibility-connected memory core.
-        self.min_memory_num_views = min_memory_num_views or num_views
-        self.max_memory_num_views = max_memory_num_views or num_views
+        # views of a tuple form the covisibility-connected memory core;
+        # the remaining views are sampled as neighbors OF that core.
+        # NOTE this affects tuple STRUCTURE only — exactly like the
+        # reference, whose training forward builds decoder memory over
+        # all views regardless (panst3r.py:72-86
+        # get_must3r_mem_batches(x.shape[1]); engine/train.py:18
+        # select_batch's memory_num_views path is dead code there).
+        # Defaults: neither set → fixed full-size core (no randomization,
+        # the pre-existing behavior); only max set → min follows the
+        # reference default of 2 (base.yaml:40); only min set → max is
+        # num_views.  Explicit 0/None are both "unset".
+        mx = num_views if not max_memory_num_views \
+            else max(2, min(max_memory_num_views, num_views))
+        mn = (mx if not max_memory_num_views else 2) \
+            if not min_memory_num_views \
+            else max(2, min(min_memory_num_views, num_views))
+        if mn > mx:
+            raise ValueError(
+                f"min_memory_num_views={min_memory_num_views} > "
+                f"max_memory_num_views={max_memory_num_views} "
+                f"(num_views={num_views})")
+        self.min_memory_num_views = mn
+        self.max_memory_num_views = mx
         # Photometric augmentation (reference recipe: transform=ColorJitter,
         # configs/base.yaml:47) — applied per view before normalization.
         self.transform = TRANSFORMS[transform]

@@ -139,13 +139,14 @@ class InferenceEngine:
 
         @functools.partial(jax.jit, static_argnames=("n",))
         def encode_batch(params, images, n):
+            """(n, H, W, 3) → x (n, N, C), pos (n, N, 2) — ALWAYS batched,
+            including n == 1 (a former unbatched special case made every
+            caller re-batch x/pos but not dino — a shape trap)."""
             def one(img):
                 x, pos = model.apply(params, cast(img)[None, None],
                                      method=PanSt3R.encode)
                 return x[0, 0], pos[0, 0]
 
-            if n == 1:
-                return one(images[0])
             return jax.lax.map(one, images, batch_size=min(chunk, n))
 
         @functools.partial(jax.jit, static_argnames=("n",))
@@ -653,8 +654,6 @@ class InferenceEngine:
             img = jnp.asarray(images[s:s + chunk])   # async chunk upload
             n = img.shape[0]
             x, pos = self._encode_batch(self.params, img, n)
-            if n == 1:  # encode_batch returns unbatched for n == 1
-                x, pos = x[None], pos[None]
             dino = self._dino_batch(self.params, img, n)
             img_chunks.append(img)
             xs.append(x)
@@ -748,10 +747,12 @@ class InferenceEngine:
             cls_emb = cls_emb.astype(jnp.bfloat16)
         V = int(port_dev.shape[0])
         kf = serve_kw.get("keyframe_mode", "linspace")
+        # K must mirror serve_device's wire packing exactly, including a
+        # num_keyframes override riding in serve_kw.
+        K = min(serve_kw.get("num_keyframes") or self.num_keyframes, V)
         unpack_kw = {
             "with_cameras": serve_kw.get("with_cameras", False),
-            "with_keyframes": (min(self.num_keyframes, V)
-                               if kf == "retrieval" else 0),
+            "with_keyframes": K if kf == "retrieval" else 0,
         }
 
         wires: _queue.Queue = _queue.Queue(maxsize=max(1, queue_depth))
@@ -759,18 +760,24 @@ class InferenceEngine:
         _done = object()
 
         def fetcher():
+            failed = False
             while True:
                 w = wires.get()
                 if w is _done:
                     out.put(_done)
                     return
+                if failed:
+                    continue  # drain remaining wires so put() never blocks
                 try:
                     host = np.asarray(w)
                     out.put(self.unpack_wire(host, V, **unpack_kw)
                             if unpack else host)
                 except BaseException as e:  # re-raised at the consumer
                     out.put(("__error__", e))
-                    return
+                    # Keep draining instead of returning: with a full
+                    # bounded `wires` queue the producer would otherwise
+                    # block forever in put() and never see the error.
+                    failed = True
 
         th = threading.Thread(target=fetcher, daemon=True)
         th.start()

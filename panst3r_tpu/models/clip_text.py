@@ -124,13 +124,22 @@ def _bytes_to_unicode():
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-    r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False else
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-    r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+",
-    re.IGNORECASE)
+# CLIP's token-split pattern uses unicode categories (\p{L}/\p{N}) — the
+# stdlib `re` can't express them, so use the `regex` module (baked into
+# the image); the ASCII fallback keeps working environments without it
+# but tokenizes non-ASCII words (e.g. "café") differently from HF.
+try:
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+        r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE)
+except ImportError:  # pragma: no cover
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+        r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+",
+        re.IGNORECASE)
 
 
 class ClipTokenizer:

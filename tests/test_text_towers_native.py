@@ -143,7 +143,11 @@ def test_clip_tokenizer_matches_hf(tmp_path):
     vp, mp, _ = _tiny_clip_files(tmp_path)
     hf = HFTok(vocab_file=vp, merges_file=mp)
     ours = ClipTokenizer(vp, mp)
-    prompts = ["a photo of cat", "a photo of chair", "dog on wall!"]
+    # incl. non-ASCII words: the token-split pattern must group unicode
+    # letters like HF's \p{L} (an ASCII-only pattern splits "café" into
+    # "caf" + "é", shifting the </w> marker and every BPE merge after it)
+    prompts = ["a photo of cat", "a photo of chair", "dog on wall!",
+               "a photo of café", "über-dog, naïve cat"]
     enc = hf(prompts, padding=True)
     ids, mask = tokenize_clip(prompts, ours)
     np.testing.assert_array_equal(ids, np.asarray(enc["input_ids"]))

@@ -285,11 +285,16 @@ def stage_forward(sd: dict, ported: dict) -> dict:
         params = jax.jit(model.init, static_argnums=(4,))(
             jax.random.PRNGKey(0), imgs, portrait,
             jnp.asarray(cls_emb), grid)
+        import tempfile
+
         from panst3r_tpu.apps.eval import load_ported_npz
 
         flat = dict(port._flatten(ported))
-        np.savez("/tmp/_verify_port_params.npz", **flat)
-        params = load_ported_npz(params, "/tmp/_verify_port_params.npz")
+        # Private temp file: a fixed /tmp path would race concurrent
+        # verify_port runs (one run forward-smoking the other's weights).
+        with tempfile.NamedTemporaryFile(suffix=".npz") as tf:
+            np.savez(tf.name, **flat)
+            params = load_ported_npz(params, tf.name)
         outp = model.apply(params, imgs, portrait, jnp.asarray(cls_emb),
                            grid)
         finite = all(bool(np.isfinite(np.asarray(v)).all())
@@ -346,19 +351,37 @@ def main(argv=None):
         np.savez(os.path.join(args.out, "ported_params.npz"), **flat)
 
         if args.data_root:
-            from panst3r_tpu.apps import eval as eval_app
+            # Acceptance criterion (BASELINE.md north star): PQ within
+            # 1 point of the reference checkpoint's published score.
+            # The stage FAILS when vs_reference is below -1.0 — a port
+            # that maps every key but has wrong numerics must not
+            # green-light the report.
+            stage: dict = {"stage": "pq"}
+            try:
+                from panst3r_tpu.apps import eval as eval_app
 
-            v2 = any(k.startswith("panoptic_decoder.input_mixer.")
-                     for k in sd)
-            pq = eval_app.main([
-                "--data-root", args.data_root,
-                "--benchmark", args.benchmark,
-                "--preset", "v2" if v2 else "v1",
-                "--ported-npz",
-                os.path.join(args.out, "ported_params.npz"),
-                "--num-scenes", str(args.num_scenes)])
-            report["stages"].append({"stage": "pq", "status": "ok",
-                                     **pq})
+                v2 = any(k.startswith("panoptic_decoder.input_mixer.")
+                         for k in sd)
+                pq = eval_app.main([
+                    "--data-root", args.data_root,
+                    "--benchmark", args.benchmark,
+                    "--preset", "v2" if v2 else "v1",
+                    "--ported-npz",
+                    os.path.join(args.out, "ported_params.npz"),
+                    "--num-scenes", str(args.num_scenes)])
+                stage.update(pq)
+                vs = pq.get("vs_reference")
+                if vs is None:
+                    stage["status"] = "ok"
+                    stage["note"] = ("no REFERENCE_PQ entry for this "
+                                     "(preset, benchmark) — PQ recorded, "
+                                     "not judged")
+                else:
+                    stage["status"] = "ok" if vs >= -1.0 else "fail"
+            except Exception as e:
+                stage["status"] = "error"
+                stage["error"] = repr(e)
+            report["stages"].append(stage)
 
     statuses = [s["status"] for s in report["stages"]]
     report["verdict"] = ("ok" if all(s in ("ok", "skipped")
