@@ -53,7 +53,8 @@ def evaluate_scene(engine: InferenceEngine, views: list[dict],
 
     gt_pan, gt_segments = gt_segments_from_maps(
         canon["pan_inst_id"].astype(np.int64), canon["pan_cls_id"],
-        canon["class_set"].split(";"), classes)
+        canon["class_set"].split(";"), classes,
+        crowd_inst_ids=canon.get("crowd_inst_ids"))
     if per_class is None:
         per_class = defaultdict(PQStat)
     scene_pq(np.asarray(res["pan"], np.int64), res["segments_info"],
@@ -127,6 +128,11 @@ def main(argv=None):
     ap.add_argument("--resolution", type=int, nargs=2, default=[512, 384])
     ap.add_argument("--fusion", default="standard_v2",
                     choices=["standard_v1", "standard_v2", "qubo"])
+    ap.add_argument("--stuff-classes", default=None,
+                    help="comma-separated class names treated as stuff for "
+                         "the PQ_th/PQ_st split (default: categories.json "
+                         "isthing flags if present, else all things — the "
+                         "reference fusion's isthing=True behavior)")
     args = ap.parse_args(argv)
 
     W, H = args.resolution
@@ -167,6 +173,16 @@ def main(argv=None):
     engine = InferenceEngine(model, params, Bucket(H, W),
                              num_keyframes=args.num_keyframes, amp=True)
 
+    # Things/Stuff category split: explicit flag > categories.json isthing
+    # flags > all-things (the reference fusion's isthing=True behavior).
+    if args.stuff_classes is not None:
+        stuff_names = {s.strip() for s in args.stuff_classes.split(",")
+                       if s.strip()}
+    else:
+        cats = getattr(dataset, "categories", None) or []
+        stuff_names = {c["name"] for c in cats if not c.get("isthing", 1)}
+    things = {i for i, c in enumerate(classes) if c not in stuff_names}
+
     per_class = defaultdict(PQStat)
     n = min(args.num_scenes, len(dataset))
     for i in range(n):
@@ -176,7 +192,7 @@ def main(argv=None):
         if (i + 1) % 10 == 0:
             print(f"[{i + 1}/{n}] {summarize(per_class)}")
 
-    result = summarize(per_class)
+    result = summarize(per_class, things=things)
     if args.benchmark != "scannetpp":
         from panst3r_tpu.data.benchmarks import REFERENCE_PQ
 

@@ -46,6 +46,9 @@ def canonicalize_views(views: Sequence[dict]) -> dict:
         "pan_inst_id": np.stack(insts),
         "pan_cls_id": np.stack(clss),
         "class_set": views[0]["class_set"],
+        # Scene-level crowd instance ids (panopticapi iscrowd eval rules).
+        "crowd_inst_ids": np.asarray(
+            views[0].get("crowd_inst_ids", np.zeros(0, np.int64))),
     }
 
 

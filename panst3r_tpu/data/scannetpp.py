@@ -94,6 +94,12 @@ class ScanNetppPanoptic(EasyDataset):
             self.pairs = data["pairs"][:, :2].astype(int)
             self.cls_sep = (int(data["cls_sep"]) if "cls_sep" in data
                             else CLS_SEP)
+            # Per-scene crowd instance ids (panopticapi iscrowd rules in
+            # engine/eval.py; exported by preprocess --export-crowd).
+            self.scene_crowd_inst_ids = (
+                [np.asarray(c, np.int64)
+                 for c in data["scene_crowd_inst_ids"]]
+                if "scene_crowd_inst_ids" in data else None)
         with open(osp.join(self.ROOT, "categories.json")) as f:
             self.categories = json.load(f)
         self._classes = [cat["name"] for cat in self.categories]
@@ -143,6 +149,9 @@ class ScanNetppPanoptic(EasyDataset):
             pan_inst_id=inst_id.astype(np.int32),
             pan_cls_id=cls_id.astype(np.int32),
             class_set=";".join(self._classes),
+            crowd_inst_ids=(self.scene_crowd_inst_ids[scene_id]
+                            if self.scene_crowd_inst_ids is not None
+                            else np.zeros(0, np.int64)),
         )
 
     def __getitem__(self, idx):

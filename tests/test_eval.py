@@ -73,4 +73,49 @@ def test_gt_segments_from_maps():
     cls[:, :2, :2] = 1
     pan, segs = gt_segments_from_maps(inst, cls, ["wall", "chair"],
                                       ["chair", "wall", "floor"])
-    assert segs == [{"id": 3, "category_id": 0}]
+    assert segs == [{"id": 3, "category_id": 0, "iscrowd": 0}]
+    _, segs_c = gt_segments_from_maps(inst, cls, ["wall", "chair"],
+                                      ["chair", "wall", "floor"],
+                                      crowd_inst_ids=[3])
+    assert segs_c == [{"id": 3, "category_id": 0, "iscrowd": 1}]
+
+
+def test_crowd_gt_not_fn_and_absorbs_preds():
+    # Crowd GT: never matched, never FN; unmatched preds mostly covering
+    # the same-class crowd region are ignored (panopticapi rules).
+    gt = np.zeros((1, 10, 10), np.int64)
+    gt[:, :5, :] = 1            # crowd segment, class 2
+    g = [{"id": 1, "category_id": 2, "iscrowd": 1}]
+    pred = np.zeros((1, 10, 10), np.int64)
+    pred[:, :5, :6] = 4         # fully inside crowd, same class
+    pred[:, 7:, :] = 5          # in void
+    p = [{"id": 4, "category_id": 2}, {"id": 5, "category_id": 2}]
+    per_class = defaultdict(PQStat)
+    scene_pq(pred, p, gt, g, per_class)
+    st = per_class[2]
+    assert st.tp == 0 and st.fn == 0 and st.fp == 0
+
+
+def test_crowd_different_class_still_fp():
+    gt = np.zeros((1, 10, 10), np.int64)
+    gt[:, :5, :] = 1
+    g = [{"id": 1, "category_id": 2, "iscrowd": 1}]
+    pred = np.zeros((1, 10, 10), np.int64)
+    pred[:, :5, :6] = 4         # inside crowd but DIFFERENT class → FP
+    p = [{"id": 4, "category_id": 3}]
+    per_class = defaultdict(PQStat)
+    scene_pq(pred, p, gt, g, per_class)
+    assert per_class[3].fp == 1
+
+
+def test_things_stuff_split():
+    pan = np.zeros((1, 8, 8), np.int64)
+    pan[:, :4, :] = 1
+    pan[:, 4:, :] = 2
+    segs = [{"id": 1, "category_id": 0}, {"id": 2, "category_id": 5}]
+    per_class = defaultdict(PQStat)
+    scene_pq(pan, segs, pan, segs, per_class)
+    s = summarize(per_class, things={0})
+    assert s["N_th"] == 1 and s["N_st"] == 1
+    assert abs(s["PQ_th"] - 100.0) < 1e-6
+    assert abs(s["PQ_st"] - 100.0) < 1e-6

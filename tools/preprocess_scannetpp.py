@@ -348,10 +348,16 @@ def process_scene(root: str, scene: str, lbl2id: dict, crowd: set,
         intrinsics_out.append(K_s)
         kept.append(imgname)
 
+    # Crowd instance ids (only present with --export-crowd): the eval
+    # harness needs them for panopticapi's iscrowd matching rules
+    # (engine/eval.py scene_pq; reference crowd CSV :280-321).
+    crowd_ids = np.asarray(sorted(s["instance_id"] for s in segments
+                                  if s["iscrowd"]), np.int64)
     np.savez(osp.join(out_scene, "scene_metadata.npz"),
              trajectories=np.stack(trajectories),
              intrinsics=np.stack(intrinsics_out),
-             images=np.asarray(kept), pairs=pairs, cls_sep=cls_sep)
+             images=np.asarray(kept), pairs=pairs, cls_sep=cls_sep,
+             crowd_inst_ids=crowd_ids)
     return segments
 
 
@@ -360,6 +366,7 @@ def merge_metadata(output_dir: str, scenes: list[str], cls_sep: int):
     offset = 0
     all_scenes, sceneids, images, intrinsics, trajectories, pairs, counts = \
         [], [], [], [], [], [], []
+    crowd = []
     for sidx, scene in enumerate(scenes):
         with np.load(osp.join(output_dir, scene, "scene_metadata.npz"),
                      allow_pickle=True) as d:
@@ -374,13 +381,16 @@ def merge_metadata(output_dir: str, scenes: list[str], cls_sep: int):
             pairs.append(p)
             counts.append(offset)
             offset += n
+            crowd.append(d["crowd_inst_ids"] if "crowd_inst_ids" in d
+                         else np.zeros(0, np.int64))
     np.savez(osp.join(output_dir, "all_metadata.npz"),
              counts=counts, scenes=np.asarray(all_scenes),
              sceneids=np.asarray(sceneids),
              images=np.concatenate(images),
              intrinsics=np.concatenate(intrinsics),
              trajectories=np.concatenate(trajectories),
-             pairs=np.concatenate(pairs), cls_sep=cls_sep)
+             pairs=np.concatenate(pairs), cls_sep=cls_sep,
+             scene_crowd_inst_ids=np.asarray(crowd, object))
 
 
 def main(argv=None):
