@@ -39,9 +39,32 @@ from panst3r_tpu.models.text_encoder import TextEncoder, TextEncoderConfig
 
 @cfglib.register
 @dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    """One term of the training dataset mix — the declarative form of the
+    reference's eval'd algebra strings ``N @ Dataset(...) + M @ Dataset``
+    (/root/reference/configs/base.yaml:30,45; train.py:162-164).
+    ``ds_size`` > 0 resamples the dataset to that many tuples per epoch
+    (``N @ A``, data/base.ResizedDataset); ``repeat`` > 1 repeats it
+    (``N * A``).  Per-spec overrides default to the experiment-level
+    values when unset."""
+    type: str = "scannetpp"
+    root: str = ""
+    ds_size: int = 0
+    repeat: int = 1
+    aug_crop: int = -1                     # -1 → experiment aug_crop
+    transform: str | None = None
+    # num_views stays experiment-global: every sample of a batch must have
+    # the same view count for the static-shape bucket steps.
+
+
+@cfglib.register
+@dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     model_preset: str = "v1"               # v1 | v2 | tiny
     data_root: str = ""
+    # Dataset mix (reference base.yaml:30: the dataset field is a LIST with
+    # ds_size resizing).  Empty → single ScanNetppPanoptic at data_root.
+    datasets: tuple = ()
     resolution: tuple = ((512, 384),)
     num_views: int = 5
     aug_crop: int = 16
@@ -80,6 +103,41 @@ def build_model(preset: str) -> PanSt3R:
     cfg = {"v1": panst3r_v1_config, "v2": panst3r_v2_config,
            "tiny": tiny_config}[preset]()
     return PanSt3R(cfg)
+
+
+DATASET_TYPES = {"scannetpp": ScanNetppPanoptic}
+
+
+def build_datasets(exp: "ExperimentConfig"):
+    """Experiment dataset mix → one algebra dataset (reference
+    train.py:162-164 ``build_dataset(eval(args.dataset))``, minus the
+    eval).  Each spec becomes ``repeat * (ds_size @ Dataset(...))`` and
+    the terms concatenate; per-dataset vocabularies stay intact per
+    sample (class_set → per-sample output_mask in the criterion,
+    reference criterion/panoptic.py:158)."""
+    specs = [DatasetSpec(**s) if isinstance(s, dict) else s
+             for s in exp.datasets]
+    if not specs:
+        specs = [DatasetSpec(root=exp.data_root)]
+    terms = []
+    for spec in specs:
+        cls = DATASET_TYPES[spec.type]
+        ds = cls(spec.root or exp.data_root,
+                 resolution=list(exp.resolution),
+                 num_views=exp.num_views,
+                 aug_crop=exp.aug_crop if spec.aug_crop < 0 else spec.aug_crop,
+                 transform=spec.transform or exp.transform,
+                 min_memory_num_views=exp.min_memory_num_views,
+                 max_memory_num_views=exp.max_memory_num_views)
+        if spec.ds_size:
+            ds = spec.ds_size @ ds
+        if spec.repeat > 1:
+            ds = spec.repeat * ds
+        terms.append(ds)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def main(argv=None):
@@ -126,12 +184,7 @@ def main(argv=None):
     print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
           f"host {dist.process_index()}/{dist.process_count()}")
 
-    dataset = ScanNetppPanoptic(exp.data_root, resolution=list(exp.resolution),
-                                num_views=exp.num_views,
-                                aug_crop=exp.aug_crop,
-                                transform=exp.transform,
-                                min_memory_num_views=exp.min_memory_num_views,
-                                max_memory_num_views=exp.max_memory_num_views)
+    dataset = build_datasets(exp)
     classes = sorted(set(dataset.classes))
 
     model = build_model(exp.model_preset)

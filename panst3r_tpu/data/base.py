@@ -11,6 +11,15 @@ from __future__ import annotations
 import numpy as np
 
 
+def _split_key(idx):
+    """Loader keys are either a plain index or an ``(idx, res_idx)`` tuple
+    (multi-resolution batches, data/loader.py epoch_batches); the algebra
+    wrappers route on the index and pass the resolution through."""
+    if isinstance(idx, tuple):
+        return idx[0], idx[1:]
+    return idx, ()
+
+
 class EasyDataset:
     """Operator algebra: `+` concat, `*` repeat, `@` resize."""
 
@@ -42,9 +51,10 @@ class CatDataset(EasyDataset):
         return sum(len(d) for d in self.datasets)
 
     def __getitem__(self, idx):
+        idx, rest = _split_key(idx)
         for d in self.datasets:
             if idx < len(d):
-                return d[idx]
+                return d[(idx, *rest)] if rest else d[idx]
             idx -= len(d)
         raise IndexError(idx)
 
@@ -70,7 +80,9 @@ class MulDataset(EasyDataset):
         return self.factor * len(self.dataset)
 
     def __getitem__(self, idx):
-        return self.dataset[idx // self.factor]
+        idx, rest = _split_key(idx)
+        sub = idx // self.factor
+        return self.dataset[(sub, *rest)] if rest else self.dataset[sub]
 
     def set_epoch(self, epoch):
         self.dataset.set_epoch(epoch)
@@ -105,7 +117,9 @@ class ResizedDataset(EasyDataset):
         self.dataset.set_epoch(epoch)
 
     def __getitem__(self, idx):
-        return self.dataset[self._indices[idx]]
+        idx, rest = _split_key(idx)
+        sub = int(self._indices[idx])
+        return self.dataset[(sub, *rest)] if rest else self.dataset[sub]
 
     @property
     def classes(self):

@@ -112,7 +112,8 @@ def test_crop_resize_landscape(rng):
     assert abs(K2[0, 2] - 256) < 2 and abs(K2[1, 2] - 192) < 2
 
 
-def _make_scannetpp(root, n_scenes=1, n_views=4, hw=(64, 96)):
+def _make_scannetpp(root, n_scenes=1, n_views=4, hw=(64, 96),
+                    class_names=("wall", "chair")):
     import cv2
 
     H, W = hw
@@ -154,7 +155,7 @@ def _make_scannetpp(root, n_scenes=1, n_views=4, hw=(64, 96)):
              intrinsics=np.asarray(intrinsics, np.float32),
              trajectories=np.asarray(trajectories, np.float32),
              pairs=np.asarray(pairs), cls_sep=256)
-    cats = [{"id": 0, "name": "wall"}, {"id": 1, "name": "chair"}]
+    cats = [{"id": i, "name": c} for i, c in enumerate(class_names)]
     with open(os.path.join(root, "categories.json"), "w") as f:
         json.dump(cats, f)
 
