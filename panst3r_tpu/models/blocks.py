@@ -80,6 +80,27 @@ class SelfAttention(nn.Module):
         table computation out of the layer loop)."""
         C = x.shape[-1]
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+
+        # Tower fast path: the transpose-free fused-qkv kernel (d=64
+        # heads, one k-block) skips the (B, N, C) -> (B·H, N, 64)
+        # relayouts that cost as much as the attention math itself
+        # (~0.25 ms/layer at the ViT-L shape, ab_attention_packed.py).
+        from panst3r_tpu.ops.attention import _use_pallas
+        from panst3r_tpu.ops.pallas.tower_attention import (
+            supports_tower_attention, tower_self_attention)
+        if mask is None and _use_pallas() \
+                and supports_tower_attention(x.shape[1], C, self.num_heads):
+            t = None
+            if self.rope_base is not None:
+                if tabs is not None:
+                    t = tabs
+                elif pos is not None:
+                    from panst3r_tpu.ops.rope import rope2d_tables
+                    t = rope2d_tables(pos, C // self.num_heads,
+                                      self.rope_base)
+            out = tower_self_attention(qkv, self.num_heads, tabs=t)
+            return nn.Dense(C, name="proj")(out)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if tabs is not None and self.rope_base is not None:

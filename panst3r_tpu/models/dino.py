@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from panst3r_tpu.core import config as cfg
-from panst3r_tpu.models.blocks import Mlp, SelfAttention
+from panst3r_tpu.models.blocks import (Mlp, SelfAttention, _merge_heads,
+                                       _split_heads)
+from panst3r_tpu.ops.attention import flash_attention_split_cls
 from panst3r_tpu.ops.image import resize_bilinear
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -42,6 +44,12 @@ class DinoEncoderConfig:
     pos_grid: int = 37        # 518/14 pretraining grid
     layerscale_init: float = 1e-5
     output_stride: int = 16   # MUSt3R patch size to align with
+    # Carry the cls token as a separate (B, 1, C) stream through the
+    # blocks (exact math via a rank-1 softmax fixup) instead of
+    # concatenating to N+1 tokens: the 769-token grid otherwise lane-pads
+    # to 896 inside attention (xplane round 4: 0.57 vs ~0.42 ms/layer).
+    # Same param tree either way — checkpoints are interchangeable.
+    split_cls: bool = True
 
 
 class _DinoBlock(nn.Module):
@@ -75,6 +83,105 @@ class _DinoStack(nn.Module):
         x = _DinoBlock(self.num_heads, self.mlp_ratio, self.layerscale_init,
                        name="block")(x)
         return x, None
+
+
+class _SplitClsSelfAttention(nn.Module):
+    """SelfAttention with the cls token as a separate stream.  Identical
+    param tree to SelfAttention (qkv/proj) — the shared Dense modules are
+    applied to both streams; the joint softmax over N+1 keys is computed
+    exactly by flash_attention_split_cls."""
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, c):
+        C = x.shape[-1]
+        qkv = nn.Dense(3 * C, use_bias=True, name="qkv")
+        proj = nn.Dense(C, name="proj")
+        qkv_x = qkv(x)
+        qkv_c = qkv(c)
+
+        from panst3r_tpu.ops.attention import _use_pallas
+        from panst3r_tpu.ops.pallas.tower_attention import (
+            supports_tower_attention, tower_self_attention)
+        if _use_pallas() and supports_tower_attention(x.shape[1], C,
+                                                      self.num_heads):
+            # Transpose-free kernel; the cls KEY/VALUE joins every patch
+            # query's softmax inside the kernel (exact).  The cls QUERY
+            # row is one (1, N+1) softmax — jnp, with reshape-view (no
+            # transpose) head splits.
+            B, N = x.shape[:2]
+            H = self.num_heads
+            D = C // H
+            out_p = tower_self_attention(
+                qkv_x, H, cls_kv=(qkv_c[..., C:2 * C], qkv_c[..., 2 * C:]))
+
+            scale = D ** -0.5
+            q_c = qkv_c[..., :C].reshape(B, H, D)
+            k_c = qkv_c[..., C:2 * C].reshape(B, H, D)
+            v_c = qkv_c[..., 2 * C:].reshape(B, H, D)
+            k_pat = qkv_x[..., C:2 * C].reshape(B, N, H, D)
+            v_pat = qkv_x[..., 2 * C:].reshape(B, N, H, D)
+            s_p = jnp.einsum("bhd,bnhd->bhn", q_c, k_pat,
+                             preferred_element_type=jnp.float32) * scale
+            s_cc = jnp.einsum("bhd,bhd->bh", q_c, k_c,
+                              preferred_element_type=jnp.float32)[..., None] \
+                * scale
+            m = jnp.maximum(s_p.max(-1, keepdims=True), s_cc)
+            e_p = jnp.exp(s_p - m)
+            e_c = jnp.exp(s_cc - m)
+            l = e_p.sum(-1, keepdims=True) + e_c
+            out_c = (jnp.einsum("bhn,bnhd->bhd", e_p,
+                                v_pat.astype(jnp.float32))
+                     + e_c * v_c.astype(jnp.float32)) / l
+            out_c = out_c.reshape(B, 1, C).astype(out_p.dtype)
+            return proj(out_p), proj(out_c)
+
+        xq, xk, xv = (_split_heads(t, self.num_heads)
+                      for t in jnp.split(qkv_x, 3, axis=-1))
+        cq, ck, cv = (_split_heads(t, self.num_heads)
+                      for t in jnp.split(qkv_c, 3, axis=-1))
+        out_p, out_c = flash_attention_split_cls(xq, xk, xv, cq, ck, cv)
+        return proj(_merge_heads(out_p)), proj(_merge_heads(out_c))
+
+
+class _DinoBlockSplit(nn.Module):
+    """_DinoBlock over (patches, cls) streams; same param tree."""
+
+    num_heads: int
+    mlp_ratio: float
+    layerscale_init: float
+
+    @nn.compact
+    def __call__(self, x, c):
+        dim = x.shape[-1]
+        g1 = self.param("ls1", nn.initializers.constant(self.layerscale_init),
+                        (dim,))
+        g2 = self.param("ls2", nn.initializers.constant(self.layerscale_init),
+                        (dim,))
+        norm1 = nn.LayerNorm(name="norm1")
+        norm2 = nn.LayerNorm(name="norm2")
+        attn = _SplitClsSelfAttention(self.num_heads, name="attn")
+        mlp = Mlp(int(dim * self.mlp_ratio), name="mlp")
+        ax, ac = attn(norm1(x), norm1(c))
+        x = x + g1 * ax
+        c = c + g1 * ac
+        x = x + g2 * mlp(norm2(x))
+        c = c + g2 * mlp(norm2(c))
+        return x, c
+
+
+class _DinoStackSplit(nn.Module):
+    num_heads: int
+    mlp_ratio: float
+    layerscale_init: float
+
+    @nn.compact
+    def __call__(self, xc):
+        x, c = xc
+        x, c = _DinoBlockSplit(self.num_heads, self.mlp_ratio,
+                               self.layerscale_init, name="block")(x, c)
+        return (x, c), None
 
 
 class DinoEncoder(nn.Module):
@@ -113,12 +220,19 @@ class DinoEncoder(nn.Module):
         patch_pos = jax.image.resize(
             patch_pos, (1, gh, gw, c.embed_dim), method="bicubic")
         x = x + patch_pos.reshape(1, gh * gw, c.embed_dim)
-        cls_tok = cls + pos[:, :1]
-        x = jnp.concatenate([jnp.broadcast_to(cls_tok, (B, 1, c.embed_dim)), x],
-                            axis=1)
+        cls_tok = jnp.broadcast_to(cls + pos[:, :1], (B, 1, c.embed_dim))
 
         # 24 identical blocks under nn.scan (params stacked at
         # ``blocks/block`` — compile-time: one block body, not 24 copies).
+        if c.split_cls:
+            stack = nn.scan(_DinoStackSplit, variable_axes={"params": 0},
+                            split_rngs={"params": True},
+                            length=c.depth)(c.num_heads, c.mlp_ratio,
+                                            c.layerscale_init, name="blocks")
+            (x, _cls), _ = stack((x, cls_tok.astype(x.dtype)))
+            # final LN is per-token; the dropped cls never needs it
+            return nn.LayerNorm(name="norm")(x)
+        x = jnp.concatenate([cls_tok.astype(x.dtype), x], axis=1)
         stack = nn.scan(_DinoStack, variable_axes={"params": 0},
                         split_rngs={"params": True},
                         length=c.depth)(c.num_heads, c.mlp_ratio,

@@ -147,6 +147,81 @@ def flash_attention_rope2d(q, k, v, qpos=None, kpos=None, bias=None,
     return flash_attention(q, k, v, bias=bias, mask=mask, scale=scale)
 
 
+def _split_cls_ref(q, k, v, qc, kc, vc, scale):
+    """Reference semantics: plain attention over [cls; patches]."""
+    qa = jnp.concatenate([qc, q], axis=2)
+    ka = jnp.concatenate([kc, k], axis=2)
+    va = jnp.concatenate([vc, v], axis=2)
+    out = dot_product_attention(qa, ka, va, scale=scale)
+    return out[:, :, 1:], out[:, :, :1]
+
+
+def _split_cls_fixup(q, k, v, qc, kc, vc, scale):
+    # Dense-N kernel pass over the patches + exact rank-1 online-softmax
+    # fixup for the cls key.  softmax([s_c | S]) == combine(LSE(S), s_c):
+    # the flash kernel's per-row log-sum-exp makes the cls column a
+    # two-term logsumexp merge — no 769-token (lane-padded-to-896) arrays
+    # anywhere.
+    from panst3r_tpu.ops.pallas.flash_attention import _flash_fwd
+
+    out_p, lse = _flash_fwd(q, k, v, None, None, scale, with_lse=True)
+    s_c = jnp.einsum("bhnd,bhkd->bhnk", q, kc,
+                     preferred_element_type=jnp.float32) * scale  # (B,H,N,1)
+    lse = lse[..., None]                                          # (B,H,N,1)
+    m = jnp.maximum(lse, s_c)
+    wp = jnp.exp(lse - m)
+    wc = jnp.exp(s_c - m)
+    num = wp * out_p.astype(jnp.float32) + wc * vc.astype(jnp.float32)
+    out = (num / (wp + wc)).astype(out_p.dtype)
+
+    # cls query row: one (1, N+1) score row — tiny, plain jnp.
+    s_row = jnp.concatenate([
+        jnp.einsum("bhqd,bhkd->bhqk", qc, kc,
+                   preferred_element_type=jnp.float32),
+        jnp.einsum("bhqd,bhkd->bhqk", qc, k,
+                   preferred_element_type=jnp.float32)], axis=-1) * scale
+    p_row = jax.nn.softmax(s_row, axis=-1)
+    out_c = (p_row[..., :1] * vc.astype(jnp.float32)
+             + jnp.einsum("bhqk,bhkd->bhqd", p_row[..., 1:],
+                          v.astype(jnp.float32))).astype(out_p.dtype)
+    return out, out_c
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _split_cls_attention(q, k, v, qc, kc, vc, scale):
+    if not _use_pallas():
+        return _split_cls_ref(q, k, v, qc, kc, vc, scale)
+    return _split_cls_fixup(q, k, v, qc, kc, vc, scale)
+
+
+def _split_cls_fwd(q, k, v, qc, kc, vc, scale):
+    return _split_cls_attention(q, k, v, qc, kc, vc, scale), \
+        (q, k, v, qc, kc, vc)
+
+
+def _split_cls_bwd(scale, res, g):
+    _, vjp = jax.vjp(lambda *a: _split_cls_ref(*a, scale), *res)
+    return vjp(g)
+
+
+_split_cls_attention.defvjp(_split_cls_fwd, _split_cls_bwd)
+
+
+def flash_attention_split_cls(q, k, v, qc, kc, vc, scale=None):
+    """Self-attention over [cls; patches] with the cls token carried
+    SEPARATELY: q/k/v are (B, H, N, D) patch streams, qc/kc/vc (B, H, 1, D)
+    the cls stream.  Exactly softmax over all N+1 keys for every query
+    (same math as concatenating), but the N-wide kernel pass stays at the
+    dense patch count — a DINO grid of 768 patches + cls otherwise pads
+    769 → 896 lanes inside attention (+36% QK/AV work and a synthesized
+    validity-mask pass, xplane round 4).  Returns (out_patches, out_cls).
+    Reference cls semantics: /root/reference/src/panst3r/model/dino.py:69.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _split_cls_attention(q, k, v, qc, kc, vc, scale)
+
+
 def masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      blocked: jnp.ndarray,
                      scale: float | None = None) -> jnp.ndarray:

@@ -81,3 +81,28 @@ def test_fused_rope_gradients(rng):
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
         assert np.abs(np.asarray(gi)).max() > 0
+
+
+def test_split_cls_fixup_matches_concat(rng):
+    """flash_attention_split_cls TPU path (kernel + rank-1 LSE fixup,
+    interpret mode) == plain attention over [cls; patches]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from panst3r_tpu.ops.attention import _split_cls_fixup, _split_cls_ref
+
+    B, H, N, D = 2, 4, 130, 64
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((B, H, 1, D)) * 0.5, jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, H, 1, D)) * 0.5, jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    scale = D ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        out_p, out_c = _split_cls_fixup(q, k, v, qc, kc, vc, scale)
+    ref_p, ref_c = _split_cls_ref(q, k, v, qc, kc, vc, scale)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c),
+                               rtol=1e-5, atol=2e-5)

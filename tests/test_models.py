@@ -251,3 +251,23 @@ def test_render_depends_on_memory_content(rng):
     _, pm_a, _ = model.apply(params, x[:, 2:], pos[:, 2:], mem_a, True, GRID)
     _, pm_b, _ = model.apply(params, x[:, 2:], pos[:, 2:], mem_b, True, GRID)
     assert np.abs(np.asarray(pm_a) - np.asarray(pm_b)).max() > 1e-4
+
+
+def test_dino_split_cls_matches_concat(rng):
+    """split_cls carries the cls token separately but computes the SAME
+    joint attention (rank-1 softmax fixup) — outputs must match the
+    concatenated path on identical params."""
+    import dataclasses as _dc
+
+    cfg = DinoEncoderConfig(patch_size=14, embed_dim=32, depth=2,
+                            num_heads=2, pos_grid=5, split_cls=True)
+    model = DinoEncoder(cfg)
+    imgs = jnp.asarray(rng.standard_normal((2, H, W, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    out_split = model.apply(params, imgs)
+
+    concat = DinoEncoder(_dc.replace(cfg, split_cls=False))
+    out_concat = concat.apply(params, imgs)  # identical param tree
+    np.testing.assert_allclose(np.asarray(out_split, np.float32),
+                               np.asarray(out_concat, np.float32),
+                               atol=2e-5, rtol=2e-5)
