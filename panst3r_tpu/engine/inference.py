@@ -624,6 +624,141 @@ class InferenceEngine:
 
         return serve_tail
 
+    def _make_serve_tail_nk(self, V: int, K: int, label_mode: str,
+                            niters: int, fusion_res: str,
+                            with_cameras: bool):
+        """Final program of the overlapped latency path: non-keyframe
+        render + frozen-query panoptic decode + fusion + wire, consuming
+        the mid-phase results (memory, keyframe masks/queries) — the
+        memory build and joint keyframe decode already ran while the
+        later image chunks were still uploading."""
+        model, grid, amp = self.model, self.grid, self.amp
+        pack = self._make_pack_wire(V, label_mode, niters, fusion_res,
+                                    with_cameras, "linspace")
+        keyframes = select_keyframes_linspace(V, K)
+        nk_list = sorted(set(range(V)) - set(keyframes))
+        inv_d = jnp.asarray(np.argsort(list(keyframes) + nk_list))
+
+        def tail_nk(params, image_chunks, xs, poss, dinos, portrait_nk,
+                    mem, pm_kf, logits_kf, masks_kf, queries, cls_emb):
+            x = jnp.concatenate(xs)
+            pos = jnp.concatenate(poss)
+            dino = jnp.concatenate(dinos)
+            images = _image_cast(jnp.concatenate(image_chunks), amp)
+            pm_nk, y_nk = model.apply(params, x[None], pos[None], mem,
+                                      grid, method=PanSt3R.decoder_render)
+            panout_nk = model.apply(
+                params, (x[None], y_nk[0][None], dino[None]), images[None],
+                pos[None], portrait_nk[None], cls_emb, grid,
+                memory_queries=queries, method=PanSt3R.panoptic)
+            out = {
+                "pred_logits": logits_kf,
+                "pred_masks": jnp.concatenate(
+                    [masks_kf, panout_nk["pred_masks"][0]])[inv_d],
+            }
+            if with_cameras:
+                out["pointmaps_raw"] = jnp.concatenate(
+                    [pm_kf, pm_nk[0]])[inv_d]
+            return pack(out, cls_emb)
+
+        return tail_nk
+
+    def serve_latency_overlap(self, images, portrait, cls_embeddings,
+                              num_keyframes: Optional[int] = None,
+                              label_mode: str = "sigmoid", niters: int = 2,
+                              fusion_res: str = "full",
+                              with_cameras: bool = False,
+                              chunk: Optional[int] = None):
+        """Single-scene latency path v2: keyframes-FIRST chunked uploads.
+
+        v1 (serve_latency_device) hides the towers behind the serial
+        uploads but runs memory → keyframe render → joint panoptic as part
+        of one monolithic tail AFTER the last chunk lands.  Here the views
+        upload in keyframe-first order, so the memory build, keyframe
+        render and joint mask-transformer decode (~60 ms of device work)
+        launch as soon as the K keyframes are encoded — while the
+        remaining views are still uploading.  The final program only does
+        nk render + frozen-query decode + fusion + wire.  Wire semantics
+        identical to serve_device (test_serve.py::test_serve_latency_
+        overlap_matches).  linspace keyframes only (host-static order).
+        """
+        V = images.shape[0]
+        K = min(num_keyframes or self.num_keyframes, V)
+        chunk = min(chunk or self.chunk, V)
+        c = self.model.config
+        keyframes = select_keyframes_linspace(V, K)
+        nk_list = sorted(set(range(V)) - set(keyframes))
+        order = list(keyframes) + nk_list
+        if not nk_list:   # all views are keyframes: no split possible
+            return self.serve_latency_device(
+                images, portrait, cls_embeddings, num_keyframes=K,
+                label_mode=label_mode, niters=niters, fusion_res=fusion_res,
+                with_cameras=with_cameras, chunk=chunk)
+
+        cls_emb = jnp.asarray(cls_embeddings)
+        if self.amp:
+            cls_emb = cls_emb.astype(jnp.bfloat16)
+        portrait = np.asarray(portrait)
+        port_ord = portrait[order]
+
+        img_chunks, xs, poss, dinos = [], [], [], []
+        done = 0
+        mid = None
+        images_ord = images[np.asarray(order)] if isinstance(images,
+                                                             np.ndarray) \
+            else np.asarray(images)[np.asarray(order)]
+
+        def launch_mid():
+            x_all = jnp.concatenate(xs)
+            pos_all = jnp.concatenate(poss)
+            dino_all = jnp.concatenate(dinos)
+            img_all = jnp.concatenate(img_chunks)
+            x_kf, pos_kf = x_all[:K], pos_all[:K]
+            dtype = jnp.bfloat16 if self.amp else jnp.float32
+            mem = memlib.init_memory(c.decoder.depth, 1, K * self.n_tokens,
+                                     c.decoder.dim, dtype=dtype)
+            mem = self._build_memory_jit(self.params, x_kf, mem, pos_kf,
+                                         tuple(c.mem_batches(K)))
+            pm_kf, y_kf = self._render_batch(self.params, x_kf, pos_kf,
+                                             mem, K)
+            panout_kf = self._panoptic_joint(
+                self.params,
+                (x_kf[None], y_kf[None], dino_all[:K][None]),
+                img_all[:K][None], pos_kf[None],
+                jnp.asarray(port_ord[:K])[None], cls_emb)
+            return mem, pm_kf, panout_kf
+
+        for s in range(0, V, chunk):
+            img = jnp.asarray(images_ord[s:s + chunk])
+            n = img.shape[0]
+            x, pos = self._encode_batch(self.params, img, n)
+            dino = self._dino_batch(self.params, img, n)
+            img_chunks.append(img)
+            xs.append(x)
+            poss.append(pos)
+            dinos.append(dino)
+            done += n
+            if mid is None and done >= K:
+                # keyframes all encoded: memory + kf render + joint decode
+                # launch now, overlapping the remaining chunk uploads.
+                mid = launch_mid()
+
+        mem, pm_kf, panout_kf = mid
+        x_all = jnp.concatenate(xs)
+        pos_all = jnp.concatenate(poss)
+        dino_all = jnp.concatenate(dinos)
+        img_all = jnp.concatenate(img_chunks)
+
+        key = ("lat_nk", V, K, label_mode, niters, fusion_res, with_cameras)
+        if key not in self._serve_cache:
+            self._serve_cache[key] = jax.jit(self._make_serve_tail_nk(
+                V, K, label_mode, niters, fusion_res, with_cameras))
+        return self._serve_cache[key](
+            self.params, (img_all[K:],), (x_all[K:],), (pos_all[K:],),
+            (dino_all[K:],), jnp.asarray(port_ord[K:]), mem, pm_kf,
+            panout_kf["pred_logits"][0], panout_kf["pred_masks"][0],
+            panout_kf["out_queries"], cls_emb)
+
     def serve_latency_device(self, images, portrait, cls_embeddings,
                              num_keyframes: Optional[int] = None,
                              label_mode: str = "sigmoid", niters: int = 2,

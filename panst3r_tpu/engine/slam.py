@@ -281,33 +281,30 @@ class IncrementalFrontend:
             return {"is_keyframe": True, "pointmaps_raw": None}
 
         if self.state.mem is None:
-            px, ppos, _ = self._pending
-            x2 = jnp.concatenate([px, x])[None]
-            pos2 = jnp.concatenate([ppos, pos])[None]
-            c = eng.model.config
-            import panst3r_tpu.models.memory as memlib
-
-            capacity = self.max_keyframes * eng.n_tokens
-            dtype = jnp.bfloat16 if eng.amp else jnp.float32
-            mem = memlib.init_memory(c.decoder.depth, 1, capacity,
-                                     c.decoder.dim, dtype=dtype)
-            mem, _ = eng._update(eng.params, x2, mem, pos2)
-            self.state.mem = mem
-            self.state.keyframe_ids.append(frame_id)
-            self.state.kf_descriptors.append(desc)
-            self.state.slots = [0, 1]
-            pm, _ = eng._render(eng.params, x[None], pos[None], mem)
-            return {"is_keyframe": True, "pointmaps_raw": np.asarray(pm[0, 0])}
+            return {"is_keyframe": True,
+                    "pointmaps_raw": self._init_memory_pair(x, pos,
+                                                            frame_id)}
 
         # Normal path: render against frozen memory.
         pm, feats = eng._render(eng.params, x[None], pos[None],
                                 self.state.mem)
+        make_kf = self._maybe_insert(x, pos, desc, frame_id,
+                                     float(self._sims_max(desc)))
+        return {"is_keyframe": bool(make_kf),
+                "pointmaps_raw": np.asarray(pm[0, 0])}
+
+    def _sims_max(self, desc):
+        """Max cosine similarity vs the current keyframe descriptors —
+        DEVICE scalar (the stream path fetches it asynchronously)."""
+        return jnp.stack([jnp.dot(desc, d)
+                          for d in self.state.kf_descriptors]).max()
+
+    def _maybe_insert(self, x, pos, desc, frame_id, sims_max: float) -> bool:
+        """Keyframe policy + memory injection (shared by process/stream)."""
+        eng = self.engine
         self.state.frame_count += 1
         self._since_kf += 1
-
-        sims = jnp.stack([jnp.dot(desc, d)
-                          for d in self.state.kf_descriptors])
-        novel = float(sims.max()) < self.sim_threshold
+        novel = sims_max < self.sim_threshold
         make_kf = novel or self._since_kf >= self.max_interval
         if make_kf:
             import panst3r_tpu.models.memory as memlib
@@ -332,6 +329,92 @@ class IncrementalFrontend:
             st.kf_descriptors.append(desc)
             st.slots.append(slot)
             self._since_kf = 0
+        return bool(make_kf)
 
-        return {"is_keyframe": bool(make_kf),
-                "pointmaps_raw": np.asarray(pm[0, 0])}
+    def stream(self, frames, start_id: int = 0, fetch_dtype=None):
+        """Pipelined online processing — yields one dict per frame, in
+        order, with the device→host pointmap fetch of frame t overlapped
+        with frame t+1's encoder/render programs (the serve_latency_device
+        overlap applied to the SLAM seam; reference per-frame O(1) decode,
+        /root/reference/src/panst3r/panst3r.py:254-277).
+
+        Semantics are IDENTICAL to calling :meth:`process` per frame: the
+        keyframe decision for frame t resolves after t's programs launch
+        but before frame t+1's render, so t+1 sees exactly the memory the
+        synchronous path would produce (test_slam.py::test_stream_matches_
+        process).  ``fetch_dtype`` (e.g. jnp.float16) casts pointmaps on
+        device before the wire fetch — half the per-frame download bytes
+        on slow host links.
+        """
+        eng = self.engine
+        pending = None          # (frame_id, x, pos, desc, sims_dev, pm_dev)
+
+        def finish(p):
+            fid, x, pos, desc, sims_dev, pm_dev = p
+            make_kf = self._maybe_insert(x, pos, desc, fid,
+                                         float(sims_dev))
+            return {"frame_id": fid, "is_keyframe": make_kf,
+                    "pointmaps_raw": np.asarray(pm_dev)}
+
+        for i, image in enumerate(frames):
+            fid = start_id + i
+            x, pos = eng._encode_all(np.asarray(image)[None])
+            desc = self._descriptor(x[0].astype(jnp.float32))
+
+            if self.state is None:           # bootstrap frame 0
+                self._pending = (x, pos, image)
+                self.state = FrontendState(mem=None, keyframe_ids=[fid],
+                                           kf_descriptors=[desc])
+                yield {"frame_id": fid, "is_keyframe": True,
+                       "pointmaps_raw": None}
+                continue
+            if self.state.mem is None:       # bootstrap frame 1
+                out = self._init_memory_pair(x, pos, fid)
+                yield {"frame_id": fid, "is_keyframe": True,
+                       "pointmaps_raw": out}
+                continue
+
+            # Resolve the previous frame's keyframe decision BEFORE this
+            # frame's render (the sims fetch overlaps this frame's encode,
+            # already launched above).
+            if pending is not None:
+                prev = finish(pending)
+            else:
+                prev = None
+            pm, _ = eng._render(eng.params, x[None], pos[None],
+                                self.state.mem)
+            pm_dev = pm[0, 0]
+            if fetch_dtype is not None:
+                pm_dev = pm_dev.astype(fetch_dtype)
+            try:  # start the D2H early; overlaps the next frame's compute
+                pm_dev.copy_to_host_async()
+            except Exception:
+                pass
+            pending = (fid, x, pos, desc, self._sims_max(desc), pm_dev)
+            if prev is not None:
+                yield prev
+        if pending is not None:
+            yield finish(pending)
+
+    def _init_memory_pair(self, x, pos, frame_id):
+        """Second bootstrap frame: initialize memory from the stored first
+        frame + this one (shared by process/stream)."""
+        eng = self.engine
+        px, ppos, _ = self._pending
+        x2 = jnp.concatenate([px, x])[None]
+        pos2 = jnp.concatenate([ppos, pos])[None]
+        c = eng.model.config
+        import panst3r_tpu.models.memory as memlib
+
+        capacity = self.max_keyframes * eng.n_tokens
+        dtype = jnp.bfloat16 if eng.amp else jnp.float32
+        mem = memlib.init_memory(c.decoder.depth, 1, capacity,
+                                 c.decoder.dim, dtype=dtype)
+        mem, _ = eng._update(eng.params, x2, mem, pos2)
+        self.state.mem = mem
+        self.state.keyframe_ids.append(frame_id)
+        self.state.kf_descriptors.append(
+            self._descriptor(x[0].astype(jnp.float32)))
+        self.state.slots = [0, 1]
+        pm, _ = eng._render(eng.params, x[None], pos[None], mem)
+        return np.asarray(pm[0, 0])

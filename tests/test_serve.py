@@ -278,3 +278,35 @@ def test_serve_many_matches_single(rng):
     for s in range(2):
         single = np.asarray(eng.serve_device(scenes[s], portrait, cls_emb))
         np.testing.assert_array_equal(wires[s], single)
+
+
+def test_serve_latency_overlap_matches(rng):
+    """serve_latency_overlap (keyframes-first uploads, memory + joint
+    decode launched mid-upload, nk-only tail program) must produce the
+    same wire semantics as the one-program serve_device."""
+    eng = _engine(rng)
+    images, portrait, cls_emb = _scene(rng)
+
+    full = eng.unpack_wire(
+        np.asarray(eng.serve_device(images, portrait, cls_emb)), V)
+    lat = eng.unpack_wire(
+        np.asarray(eng.serve_latency_overlap(images, portrait, cls_emb)), V)
+    np.testing.assert_array_equal(lat["pan"], full["pan"])
+    np.testing.assert_array_equal(lat["seg_ids"], full["seg_ids"])
+    np.testing.assert_array_equal(lat["labels"], full["labels"])
+    np.testing.assert_array_equal(lat["selected"], full["selected"])
+    np.testing.assert_allclose(lat["conf"], full["conf"],
+                               atol=1.0 / 255 + 1e-6)
+
+    # hybrid fusion + cameras ride through identically
+    w = np.asarray(eng.serve_latency_overlap(
+        images, portrait, cls_emb, fusion_res="hybrid", with_cameras=True))
+    dec = eng.unpack_wire(w, V, with_cameras=True)
+    np.testing.assert_array_equal(dec["pan"], full["pan"])
+    assert dec["focals"].shape == (V,)
+
+    # K == V degenerates to the v1 path
+    wv = np.asarray(eng.serve_latency_overlap(images, portrait, cls_emb,
+                                              num_keyframes=V))
+    np.testing.assert_array_equal(eng.unpack_wire(wv, V)["pan"],
+                                  full["pan"])

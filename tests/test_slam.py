@@ -270,3 +270,38 @@ def test_ate_from_preprocessed_metadata_gt(rng, tmp_path):
     ate_ba = ate_rmse(np.asarray(ba_poses, np.float64), gt)
     assert ate_ba < ate_bad, (ate_bad, ate_ba)
     assert ate_ba < 0.03
+
+
+def test_stream_matches_process(rng):
+    """stream() pipelines fetches but must produce EXACTLY the per-frame
+    results and keyframe decisions of sequential process() calls."""
+    from panst3r_tpu.core.bucketing import Bucket
+    from panst3r_tpu.engine.inference import InferenceEngine
+    from tests.test_inference import _setup
+    from tests.test_train import H, W
+
+    model, params, images, portrait, cls_emb = _setup(rng, V=6)
+
+    def build():
+        engine = InferenceEngine(model, params, Bucket(H, W),
+                                 num_keyframes=4, chunk=1, amp=False)
+        return IncrementalFrontend(engine, sim_threshold=1.1,
+                                   max_interval=2, max_keyframes=4)
+
+    f_sync = build()
+    sync = [f_sync.process(images[i], i) for i in range(6)]
+
+    f_str = build()
+    stream = list(f_str.stream([images[i] for i in range(6)]))
+
+    assert len(stream) == 6
+    assert [o["frame_id"] for o in stream] == list(range(6))
+    for s, p in zip(stream, sync):
+        assert s["is_keyframe"] == p["is_keyframe"]
+        if p["pointmaps_raw"] is None:
+            assert s["pointmaps_raw"] is None
+        else:
+            np.testing.assert_allclose(s["pointmaps_raw"],
+                                       p["pointmaps_raw"], rtol=1e-5,
+                                       atol=1e-5)
+    assert f_str.state.keyframe_ids == f_sync.state.keyframe_ids

@@ -71,6 +71,25 @@ def main():
     if kfs:
         print(f"per-frame (keyframe insert): min {min(kfs)*1e3:.1f} ms")
 
+    # Pipelined stream() — sustained session fps including keyframe
+    # insertion cadence; f32 and f16 pointmap wires.
+    for dtype, label in ((None, "f32"), (jnp.float16, "f16")):
+        frontend2 = IncrementalFrontend(engine, sim_threshold=0.0,
+                                        max_interval=6, max_keyframes=8)
+        seq = [frames[i % args.frames] for i in range(args.frames + 3)]
+        n_warm = 3
+        outs = []
+        t0 = None
+        for j, out in enumerate(frontend2.stream(seq, fetch_dtype=dtype)):
+            if j == n_warm - 1:
+                t0 = time.perf_counter()   # skip bootstrap+compile frames
+            outs.append(out["is_keyframe"])
+        dt = time.perf_counter() - t0
+        n = len(seq) - n_warm
+        print(f"stream[{label}]: {n} frames in {dt*1e3:.0f} ms = "
+              f"{n / dt:.2f} fps sustained "
+              f"({sum(outs)} keyframe inserts total)")
+
 
 if __name__ == "__main__":
     main()

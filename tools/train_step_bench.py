@@ -78,13 +78,25 @@ def main():
     state, loss, details = step(state, batch, cls_emb, jax.random.PRNGKey(0))
     print(f"first step (compile+run): {time.perf_counter() - t0:.1f}s "
           f"loss={float(loss):.3f}")
-    for i in range(3):
+    times = []
+    for i in range(int(os.environ.get("TSB_STEPS", "5"))):
         t0 = time.perf_counter()
         state, loss, _ = step(state, batch, cls_emb, jax.random.PRNGKey(i))
         loss_v = float(loss)
-        print(f"step {i}: {time.perf_counter() - t0 :.3f}s loss={loss_v:.3f}")
+        times.append(time.perf_counter() - t0)
+        print(f"step {i}: {times[-1]:.3f}s loss={loss_v:.3f}")
         assert np.isfinite(loss_v)
-    print("train step ok")
+
+    # MFU by the jaxpr matmul/conv counter (scan-aware; XLA's HLO cost
+    # model undercounts while-bodies ~6x — PERFORMANCE.md round 2).
+    from panst3r_tpu.ops.flops import fn_matmul_flops
+    tf_step = fn_matmul_flops(step, state, batch, cls_emb,
+                              jax.random.PRNGKey(0))
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+    best = min(times)
+    print(f"train step ok: {best:.3f}s/step best  "
+          f"{tf_step / 1e12:.2f} TF/step  "
+          f"MFU {100 * tf_step / best / peak:.1f}%")
 
 
 if __name__ == "__main__":
