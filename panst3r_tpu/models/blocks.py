@@ -128,6 +128,38 @@ class CrossAttention(nn.Module):
         q = nn.Dense(C, use_bias=self.qkv_bias, name="projq")(x)
         k = nn.Dense(C, use_bias=self.qkv_bias, name="projk")(key)
         v = nn.Dense(C, use_bias=self.qkv_bias, name="projv")(value)
+
+        # Transpose-free cross path (see ops/pallas/tower_attention.py):
+        # projected streams go to the kernel as lane-block head pairs; the
+        # decoder's per-key memory-validity bias plumbs as a (B, Nk) row.
+        from panst3r_tpu.ops.attention import _use_pallas
+        from panst3r_tpu.ops.pallas.tower_attention import (
+            supports_tower_cross, tower_cross_attention)
+        per_key = (bias is not None and bias.ndim == 4
+                   and bias.shape[1] == 1 and bias.shape[2] == 1)
+        rope_ok = (self.rope_base is None
+                   or (qtab is not None and ktab is not None)
+                   or (qpos is not None and kpos is not None))
+        if mask is None and (bias is None or per_key) and rope_ok \
+                and _use_pallas() \
+                and supports_tower_cross(x.shape[1], key.shape[1], C,
+                                         self.num_heads):
+            tabs_q = tabs_k = None
+            if self.rope_base is not None:
+                if qtab is not None:
+                    tabs_q, tabs_k = qtab, ktab
+                else:
+                    from panst3r_tpu.ops.rope import rope2d_tables
+                    D = C // self.num_heads
+                    tabs_q = rope2d_tables(qpos, D, self.rope_base)
+                    tabs_k = rope2d_tables(kpos, D, self.rope_base)
+            kv_bias = (jnp.broadcast_to(bias[:, 0, 0, :],
+                                        (k.shape[0], k.shape[1]))
+                       if per_key else None)
+            out = tower_cross_attention(q, k, v, qtab=tabs_q, ktab=tabs_k,
+                                        kv_bias=kv_bias)
+            return nn.Dense(C, name="proj")(out)
+
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if (self.rope_base is not None
                 and (qtab is not None or ktab is not None)):

@@ -222,10 +222,226 @@ def _tower_mha_bwd(scale, res, g):
 _tower_mha.defvjp(_tower_mha_fwd, _tower_mha_bwd)
 
 
+def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
+                  ksin_ref, kb_ref, o_ref,
+                  q_scr, m0, l0, a0, m1, l1, a1, *,
+                  scale: float, nk_blocks: int, rope: bool, kbias: bool):
+    """Blocked cross-attention over the token memory: lane-block head
+    pairs (transpose-free), online softmax across k blocks, optional
+    per-key additive bias (memory validity) and RoPE tables."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        for m, l, a in ((m0, l0, a0), (m1, l1, a1)):
+            m[...] = jnp.full_like(m, _NEG_INF)
+            l[...] = jnp.zeros_like(l)
+            a[...] = jnp.zeros_like(a)
+        if rope:
+            qf = q_ref[0].astype(jnp.float32)
+            q_scr[...] = (qf * qcos_ref[0] + _rot2d_pair(qf)
+                          * qsin_ref[0]).astype(q_scr.dtype)
+        else:
+            q_scr[...] = q_ref[0]
+
+    q = q_scr[...]                                 # (bq, 128)
+    k = k_ref[0]                                   # (bk, 128)
+    v = v_ref[0]
+    if rope:
+        kf = k.astype(jnp.float32)
+        k = (kf * kcos_ref[0] + _rot2d_pair(kf) * ksin_ref[0]).astype(k.dtype)
+
+    for h, (m_scr, l_scr, acc_scr) in enumerate(((m0, l0, a0),
+                                                 (m1, l1, a1))):
+        sl = slice(64 * h, 64 * (h + 1))
+        s = jax.lax.dot_general(q[:, sl], k[:, sl],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if kbias:
+            s = s + kb_ref[0]                      # (1, bk), pre-scaled
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        # Fully-masked-so-far guard (see flash_attention.py _kernel).
+        safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
+        p = jnp.exp2(s - safe_m)
+        alpha = jnp.exp2(m_prev - safe_m)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc_scr[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+        acc_scr[...] = acc
+
+    @pl.when(ik == nk_blocks - 1)
+    def _fin():
+        outs = []
+        for m_scr, l_scr, acc_scr in ((m0, l0, a0), (m1, l1, a1)):
+            l = l_scr[:, :1]
+            l = jnp.where(l == 0.0, 1.0, l)        # fully-masked rows → 0
+            outs.append(acc_scr[...] / l)
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
+               block_q: int = 512, block_k: int = 768):
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
+    P = C // 128
+    rope = qtab is not None
+
+    def pick(n, cands):
+        cands = [c for c in cands if True]
+        if n <= 1024:
+            cands = cands + [_round_up(n, 128)]
+        return min(cands, key=lambda c: (_round_up(n, c), -c))
+
+    bq = pick(Nq, [block_q])
+    bk = pick(Nk, [block_k, 512])
+    Nqp, Nkp = _round_up(Nq, bq), _round_up(Nk, bk)
+
+    kbias = kv_bias is not None or Nkp != Nk
+    if kbias:
+        kb = (jnp.zeros((B, Nk), jnp.float32) if kv_bias is None
+              else kv_bias.astype(jnp.float32) * _LOG2E)
+        kb = jnp.pad(kb, ((0, 0), (0, Nkp - Nk)),
+                     constant_values=_NEG_INF)[:, None, :]   # (B, 1, Nkp)
+
+    if Nqp != Nq:
+        q = jnp.pad(q, ((0, 0), (0, Nqp - Nq), (0, 0)))
+    if Nkp != Nk:
+        k = jnp.pad(k, ((0, 0), (0, Nkp - Nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Nkp - Nk), (0, 0)))
+
+    args = [q, k, v]
+    in_specs = [
+        pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, g % P)),
+        pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
+        pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
+    ]
+    if rope:
+        def prep(t, n):
+            t = jnp.tile(t.astype(jnp.float32), (1, 1, 2))
+            if t.shape[1] != n:
+                t = jnp.pad(t, ((0, 0), (0, n - t.shape[1]), (0, 0)))
+            return t
+        args += [prep(qtab[0], Nqp), prep(qtab[1], Nqp),
+                 prep(ktab[0], Nkp), prep(ktab[1], Nkp)]
+        in_specs += [
+            pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, 0)),
+            pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, 0)),
+            pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, 0)),
+        ]
+    if kbias:
+        args.append(kb)
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda g, i, j, P=P: (g // P, 0, j)))
+
+    nk_blocks = Nkp // bk
+
+    def kernel(*refs):
+        idx = 3
+        qcos = qsin = kcos = ksin = kb_ref = None
+        if rope:
+            qcos, qsin, kcos, ksin = refs[idx:idx + 4]
+            idx += 4
+        if kbias:
+            kb_ref = refs[idx]
+            idx += 1
+        o_ref = refs[idx]
+        q_scr = refs[idx + 1]
+        m0, l0, a0, m1, l1, a1 = refs[idx + 2:idx + 8]
+        _cross_kernel(refs[0], refs[1], refs[2], qcos, qsin, kcos, ksin,
+                      kb_ref, o_ref, q_scr, m0, l0, a0, m1, l1, a1,
+                      scale=scale * _LOG2E, nk_blocks=nk_blocks,
+                      rope=rope, kbias=kbias)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * P, Nqp // bq, nk_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, 128),
+                               lambda g, i, j, P=P: (g // P, i, g % P)),
+        out_shape=jax.ShapeDtypeStruct((B, Nqp, C), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, 128), q.dtype)] + [
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 64), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * 2 * P * Nq * Nk * 64,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * 2 * P * Nq * Nk,
+        ),
+    )(*args)
+    return out[:, :Nq] if Nqp != Nq else out
+
+
+def _cross_ref(q, k, v, qtab, ktab, kv_bias, scale):
+    from panst3r_tpu.ops.attention import dot_product_attention
+    from panst3r_tpu.ops.rope import apply_rope_tables
+
+    C = q.shape[-1]
+    qh, kh, vh = (_split_heads(t, C) for t in (q, k, v))
+    if qtab is not None:
+        qh = apply_rope_tables(qh, *qtab)
+        kh = apply_rope_tables(kh, *ktab)
+    bias = kv_bias[:, None, None, :] if kv_bias is not None else None
+    out = dot_product_attention(qh, kh, vh, bias=bias, scale=scale)
+    B, H, N, D = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _tower_cross(q, k, v, qtab, ktab, kv_bias, scale):
+    return _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale)
+
+
+def _tower_cross_fwd(q, k, v, qtab, ktab, kv_bias, scale):
+    return _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale), \
+        (q, k, v, qtab, ktab, kv_bias)
+
+
+def _tower_cross_bwd(scale, res, g):
+    q, k, v, qtab, ktab, kv_bias = res
+    _, vjp = jax.vjp(lambda q, k, v: _cross_ref(q, k, v, qtab, ktab,
+                                                kv_bias, scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    zt = jax.tree_util.tree_map(jnp.zeros_like, (qtab, ktab, kv_bias))
+    return (dq, dk, dv, *zt)
+
+
+_tower_cross.defvjp(_tower_cross_fwd, _tower_cross_bwd)
+
+
+def tower_cross_attention(q, k, v, qtab=None, ktab=None, kv_bias=None,
+                          scale=None):
+    """Transpose-free cross-attention: q/k/v are the PROJECTED (B, N, C)
+    streams (no head split — heads live as 128-lane pair blocks), with
+    optional (cos, sin) RoPE tables per side and a per-key additive bias
+    (B, Nk) — the token-memory validity bias (models/decoder.py
+    memory_mask_bias; reference engine/must3r.py:76 mem_labels).
+    Online softmax across key blocks: any memory length."""
+    C = q.shape[-1]
+    if scale is None:
+        scale = 64 ** -0.5
+    return _tower_cross(q, k, v, qtab, ktab, kv_bias, scale)
+
+
 def supports_tower_attention(N: int, C: int, heads: int) -> bool:
     """Shape gate: N one k-block (≤ 1024), d=64 heads, pairable lanes."""
     return (N <= 1024 and C % 128 == 0 and heads * 64 == C
             and heads % 2 == 0)
+
+
+def supports_tower_cross(Nq: int, Nk: int, C: int, heads: int) -> bool:
+    """Cross variant: any Nk (online softmax); skip tiny shapes where the
+    kernel grid overhead loses to XLA-native."""
+    return (C % 128 == 0 and heads * 64 == C and heads % 2 == 0
+            and Nq * Nk >= 256 * 256)
 
 
 def tower_self_attention(qkv, heads: int, tabs=None, cls_kv=None,

@@ -116,3 +116,97 @@ def test_self_attention_tower_routing_matches(rng, monkeypatch):
 
     np.testing.assert_allclose(np.asarray(out_tower), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("Nq,Nk,C,rope,bias", [
+    (256, 384, 128, False, False),
+    (256, 1024, 128, True, True),      # multi-block keys + bias + rope
+    (130, 200, 128, False, True),      # both sides padded
+    (512, 640, 256, True, False),      # 4 heads, padded keys
+])
+def test_tower_cross_matches_reference(rng, Nq, Nk, C, rope, bias):
+    from panst3r_tpu.ops.pallas.tower_attention import (_cross_fwd,
+                                                        _cross_ref)
+    from panst3r_tpu.ops.rope import rope2d_tables
+
+    B = 2
+    q = jnp.asarray(rng.standard_normal((B, Nq, C)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Nk, C)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Nk, C)), jnp.float32)
+    qtab = ktab = None
+    if rope:
+        qp = jnp.asarray(rng.integers(0, 32, (B, Nq, 2)), jnp.int32)
+        kp = jnp.asarray(rng.integers(0, 32, (B, Nk, 2)), jnp.int32)
+        qtab = rope2d_tables(qp, 64)
+        ktab = rope2d_tables(kp, 64)
+    kv_bias = None
+    if bias:
+        # validity-style bias incl. fully-masked slots
+        valid = rng.random((B, Nk)) > 0.3
+        kv_bias = jnp.where(jnp.asarray(valid), 0.0, -jnp.inf)
+    scale = 64 ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        out = _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale)
+    ref = _cross_ref(q, k, v, qtab, ktab,
+                     jnp.where(jnp.isinf(kv_bias),
+                               jnp.float32(np.finfo(np.float32).min),
+                               kv_bias) if kv_bias is not None else None,
+                     scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_cross_attention_tower_routing_matches(rng, monkeypatch):
+    """blocks.CrossAttention tower route == split-head path on identical
+    params (rope tables + per-key validity bias, the decoder call form)."""
+    import panst3r_tpu.ops.attention as attn_mod
+    from panst3r_tpu.models.blocks import CrossAttention
+    from panst3r_tpu.ops.attention import memory_mask_bias
+    from panst3r_tpu.ops.rope import rope2d_tables
+
+    B, Nq, Nk, C, H = 1, 256, 384, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, Nq, C)) * 0.5, jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B, Nk, C)) * 0.5, jnp.float32)
+    qtab = rope2d_tables(
+        jnp.asarray(rng.integers(0, 16, (B, Nq, 2)), jnp.int32), 64)
+    ktab = rope2d_tables(
+        jnp.asarray(rng.integers(0, 16, (B, Nk, 2)), jnp.int32), 64)
+    valid = jnp.asarray(rng.random((B, Nk)) > 0.25)
+    bias = memory_mask_bias(valid)
+
+    mod = CrossAttention(H, rope_base=100.0)
+    params = mod.init(jax.random.PRNGKey(0), x, kv, kv, qtab=qtab,
+                      ktab=ktab, bias=bias)
+    out_ref = mod.apply(params, x, kv, kv, qtab=qtab, ktab=ktab, bias=bias)
+
+    monkeypatch.setattr(attn_mod, "_use_pallas", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        out_tower = mod.apply(params, x, kv, kv, qtab=qtab, ktab=ktab,
+                              bias=bias)
+    np.testing.assert_allclose(np.asarray(out_tower), np.asarray(out_ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_tower_cross_backward_matches_reference(rng):
+    from panst3r_tpu.ops.pallas.tower_attention import (_cross_ref,
+                                                        tower_cross_attention)
+
+    B, Nq, Nk, C = 1, 64, 96, 128
+    q = jnp.asarray(rng.standard_normal((B, Nq, C)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Nk, C)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Nk, C)), jnp.float32)
+    scale = 64 ** -0.5
+
+    def f_kernel(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return (tower_cross_attention(q, k, v, scale=scale) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (_cross_ref(q, k, v, None, None, None, scale) ** 2).sum()
+
+    g_k = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
