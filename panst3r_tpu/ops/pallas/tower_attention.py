@@ -244,35 +244,50 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
         else:
             q_scr[...] = q_ref[0]
 
-    q = q_scr[...]                                 # (bq, 128)
-    k = k_ref[0]                                   # (bk, 128)
-    v = v_ref[0]
-    if rope:
-        kf = k.astype(jnp.float32)
-        k = (kf * kcos_ref[0] + _rot2d_pair(kf) * ksin_ref[0]).astype(k.dtype)
+    def _block_body():
+        q = q_scr[...]                             # (bq, 128)
+        k = k_ref[0]                               # (bk, 128)
+        v = v_ref[0]
+        if rope:
+            kf = k.astype(jnp.float32)
+            k = (kf * kcos_ref[0] + _rot2d_pair(kf)
+                 * ksin_ref[0]).astype(k.dtype)
 
-    for h, (m_scr, l_scr, acc_scr) in enumerate(((m0, l0, a0),
-                                                 (m1, l1, a1))):
-        sl = slice(64 * h, 64 * (h + 1))
-        s = jax.lax.dot_general(q[:, sl], k[:, sl],
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if kbias:
-            s = s + kb_ref[0]                      # (1, bk), pre-scaled
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        # Fully-masked-so-far guard (see flash_attention.py _kernel).
-        safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
-        p = jnp.exp2(s - safe_m)
-        alpha = jnp.exp2(m_prev - safe_m)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc_scr[...] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
-        acc_scr[...] = acc
+        for h, (m_scr, l_scr, acc_scr) in enumerate(((m0, l0, a0),
+                                                     (m1, l1, a1))):
+            sl = slice(64 * h, 64 * (h + 1))
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if kbias:
+                s = s + kb_ref[0]                  # (1, bk), pre-scaled
+            m_prev = m_scr[:, :1]
+            l_prev = l_scr[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            # Fully-masked-so-far guard (see flash_attention.py _kernel).
+            safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
+            p = jnp.exp2(s - safe_m)
+            alpha = jnp.exp2(m_prev - safe_m)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc_scr[...] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+            acc_scr[...] = acc
+
+    if kbias:
+        # Validity-aware tile skip: a key block whose bias row is all
+        # -inf (ring-buffer slots beyond the occupied prefix; padded
+        # keys) contributes exactly nothing to the online softmax — skip
+        # its matmuls/exp entirely (SLAM's fixed-capacity memory runs
+        # mostly-empty early in a session; reference's growing
+        # mem_labels, engine/must3r.py:76).
+        @pl.when(jnp.max(kb_ref[0]) > _NEG_INF / 2)
+        def _valid_block():
+            _block_body()
+    else:
+        _block_body()
 
     @pl.when(ik == nk_blocks - 1)
     def _fin():

@@ -210,3 +210,27 @@ def test_tower_cross_backward_matches_reference(rng):
     for a, b in zip(g_k, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_tower_cross_block_skip_exact(rng):
+    """A fully-invalid key BLOCK (ring-buffer empty slots) is skipped by
+    pl.when — results must equal the reference with those keys masked."""
+    from panst3r_tpu.ops.pallas.tower_attention import (_cross_fwd,
+                                                        _cross_ref)
+
+    B, Nq, Nk, C = 1, 256, 1024, 128   # bk=512 -> 2 key blocks
+    q = jnp.asarray(rng.standard_normal((B, Nq, C)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Nk, C)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Nk, C)), jnp.float32)
+    neg = float(np.finfo(np.float32).min)
+    # second half entirely invalid -> its 512-block is skipped
+    kv_bias = jnp.concatenate([jnp.zeros((B, 512)),
+                               jnp.full((B, 512), neg)], axis=1)
+    scale = 64 ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        out = _cross_fwd(q, k, v, None, None, kv_bias, scale,
+                         block_k=512)
+    ref = _cross_ref(q[:, :, :], k[:, :512], v[:, :512], None, None,
+                     None, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
