@@ -77,6 +77,10 @@ class ExperimentConfig:
     output_dir: str = "./out"
     keep_freq: int = 10                    # reference base.yaml:81
     print_freq: int = 20
+    # Loss-fetch cadence (engine/train.train_one_epoch sync_every): 1 =
+    # reference per-step semantics; >1 pipelines dispatch on slow host
+    # links (NaN abort fires at most N-1 steps late).
+    sync_every: int = 1
     logger: str = "tensorboard"
     mesh_data: int = -1
     mesh_mem: int = 1
@@ -303,7 +307,7 @@ def main(argv=None):
             state, stats = train_one_epoch(
                 state, step_fns, batches, cls_emb, mesh, epoch,
                 exp.train.seed, log_writer, exp.print_freq,
-                steps_per_epoch, schedule)
+                steps_per_epoch, schedule, sync_every=exp.sync_every)
 
         if exp.eval_every and epoch % exp.eval_every == 0 \
                 and dist.is_main_process():

@@ -230,3 +230,42 @@ def test_train_mask_freezes_and_matches(rng):
         st, l, _ = step(st, batch, cls_emb, jax.random.PRNGKey(i))
         losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+def test_train_one_epoch_sync_every(rng):
+    """Pipelined loss fetching (sync_every > 1): identical losses/state to
+    per-step sync, and the NaN abort still fires (at most N-1 steps late)."""
+    from panst3r_tpu.engine.train import train_one_epoch
+
+    mesh = build_mesh(MeshSpec(data=1, mem=1))
+    model = tiny_model()
+    batch_np = make_batch(rng, 1)
+    cls_emb = jnp.asarray(rng.standard_normal((NCLS, 24)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), batch_np["images"],
+                        batch_np["portrait"], cls_emb, GRID)
+    tcfg = TrainConfig(lr=1e-3, accum_iter=1, epochs=2, warmup_epochs=0,
+                       loss=PanopticLossConfig(num_points=32))
+    tx, _ = build_optimizer(tcfg, 1, steps_per_epoch=4)
+    step = make_train_step(model, tx, tcfg.loss, GRID, donate=False)
+
+    def run(sync_every):
+        state = TrainState.create(params, tx)
+        return train_one_epoch(state, step, [batch_np] * 4, cls_emb, mesh,
+                               epoch=0, seed=0, sync_every=sync_every)
+
+    st1, stats1 = run(1)
+    st3, stats3 = run(3)
+    assert stats1["loss"] == stats3["loss"]
+    for a, b in zip(jax.tree_util.tree_leaves(st1.params),
+                    jax.tree_util.tree_leaves(st3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # NaN abort still fires under deferred sync.
+    def nan_step(state, batch, cls, key):
+        st, loss, det = step(state, batch, cls, key)
+        return st, loss * jnp.nan, det
+
+    state = TrainState.create(params, tx)
+    with pytest.raises(FloatingPointError):
+        train_one_epoch(state, nan_step, [batch_np] * 4, cls_emb, mesh,
+                        epoch=0, seed=0, sync_every=4)

@@ -62,17 +62,20 @@ def main():
     # matcher and the mask loss (the PQ-parity acceptance recipe,
     # VERDICT r2 #3c) instead of the grid-quadrature default.
     sampling = os.environ.get("TSB_SAMPLING", "grid")
-    tcfg = TrainConfig(lr=1e-4, accum_iter=1,
+    # TSB_AMP=bf16: the torch-autocast analog (reference train.py:37-40;
+    # base.yaml:76 ships amp: false, so the default here is off too).
+    amp = os.environ.get("TSB_AMP") or None
+    tcfg = TrainConfig(lr=1e-4, accum_iter=1, amp=amp,
                        loss=PanopticLossConfig(
                            num_points=NPTS,
                            matcher_sampling=sampling,
                            loss_sampling=sampling))
-    print(f"sampling={sampling}  bucket={H}x{W}")
+    print(f"sampling={sampling}  bucket={H}x{W}  amp={amp}")
     tx, _ = build_optimizer(tcfg, 1, steps_per_epoch=100,
                             trainable_mask=trainable_mask(params))
     state = TrainState.create(params, tx)
     step = make_train_step(model, tx, tcfg.loss, GRID, donate=False,
-                           train_mask=trainable_mask(params))
+                           amp=amp, train_mask=trainable_mask(params))
 
     t0 = time.perf_counter()
     state, loss, details = step(state, batch, cls_emb, jax.random.PRNGKey(0))
@@ -87,6 +90,33 @@ def main():
         print(f"step {i}: {times[-1]:.3f}s loss={loss_v:.3f}")
         assert np.isfinite(loss_v)
 
+    # TSB_PROFILE=<dir>: capture an xplane trace of 2 steady steps
+    # (summarize with tools/xplane_summary.py).
+    prof_dir = os.environ.get("TSB_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            for i in range(2):
+                state, loss, _ = step(state, batch, cls_emb,
+                                      jax.random.PRNGKey(100 + i))
+            jax.block_until_ready(loss)
+        print(f"trace written to {prof_dir}")
+
+    # Pipelined stepping (train_one_epoch sync_every > 1): dispatch N
+    # steps back-to-back, one sync at the end — the steady-state training
+    # number without the per-step loss-fetch round-trip (33 ms/step on
+    # the tunneled link here).
+    npipe = int(os.environ.get("TSB_PIPELINE", "10"))
+    t0 = time.perf_counter()
+    pend = []
+    for i in range(npipe):
+        state, loss, _ = step(state, batch, cls_emb,
+                              jax.random.PRNGKey(1000 + i))
+        pend.append(loss)
+    vals = [float(l) for l in pend]
+    pipe_s = (time.perf_counter() - t0) / npipe
+    assert all(np.isfinite(v) for v in vals)
+    print(f"pipelined ({npipe} steps, one sync): {pipe_s:.3f}s/step")
+
     # MFU by the jaxpr matmul/conv counter (scan-aware; XLA's HLO cost
     # model undercounts while-bodies ~6x — PERFORMANCE.md round 2).
     from panst3r_tpu.ops.flops import fn_matmul_flops
@@ -94,9 +124,10 @@ def main():
                               jax.random.PRNGKey(0))
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
     best = min(times)
-    print(f"train step ok: {best:.3f}s/step best  "
-          f"{tf_step / 1e12:.2f} TF/step  "
-          f"MFU {100 * tf_step / best / peak:.1f}%")
+    print(f"train step ok: {best:.3f}s/step best (per-step sync)  "
+          f"pipelined {pipe_s:.3f}s/step  {tf_step / 1e12:.2f} TF/step  "
+          f"MFU {100 * tf_step / best / peak:.1f}% synced / "
+          f"{100 * tf_step / pipe_s / peak:.1f}% pipelined")
 
 
 if __name__ == "__main__":
