@@ -300,7 +300,13 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
 
 
 def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
-               block_q: int = 512, block_k: int = 768):
+               block_q: int = 1024, block_k: int = 1536):
+    """Block defaults measured on chip (tools/ab_cross_blocks.py, r4):
+    at the serve-render shape (6144 q × 3072 kv) bq=1024/bk=1536 runs
+    0.718 ms/call vs 1.659 at 512/768 — fewer online-softmax carry steps
+    against bigger MXU contractions; same 2.1× at the 12288-kv
+    long-memory shape.  (bq=1024, bk=3072 fails to compile: the two
+    (bq, bk) f32 score tiles overflow VMEM.)"""
     B, Nq, C = q.shape
     Nk = k.shape[1]
     P = C // 128
@@ -313,7 +319,7 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         return min(cands, key=lambda c: (_round_up(n, c), -c))
 
     bq = pick(Nq, [block_q])
-    bk = pick(Nk, [block_k, 512])
+    bk = pick(Nk, [block_k, 1024, 768, 512])
     Nqp, Nkp = _round_up(Nq, bq), _round_up(Nk, bk)
 
     kbias = kv_bias is not None or Nkp != Nk
