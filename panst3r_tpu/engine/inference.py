@@ -554,9 +554,13 @@ class InferenceEngine:
                 out["pred_masks"][None].astype(jnp.float32),
                 (fh, fw), label_mode, 0.1, None, 0.25, 0.5, niters, 0.1)
             conf_hw = conf[0]
-            if fusion_res == "hybrid":
+            if fusion_res.startswith("hybrid"):
+                # "hybrid" pools conf 2x2; "hybrid4" 4x4 (1.97 -> 1.67 MB
+                # per 8-view scene — for links where the pipelined loop is
+                # traffic-bound; the pan plane stays bit-exact either way).
+                s = int(fusion_res[6:] or 2)
                 Vv = conf_hw.shape[0]
-                conf_hw = conf_hw.reshape(Vv, fh // 2, 2, fw // 2, 2)
+                conf_hw = conf_hw.reshape(Vv, fh // s, s, fw // s, s)
                 conf_hw = conf_hw.mean(axis=(2, 4))
             conf_q = jnp.clip(conf_hw * 255.0, 0, 255)
             parts = [
@@ -966,12 +970,15 @@ class InferenceEngine:
         cam_tail = 4 * (V + V * 16) if with_cameras else 0
         body = wire.size - 3 * Q - cam_tail - with_keyframes
         nf, nh = V * H * W, V * (H // 2) * (W // 2)
+        nq = V * (H // 4) * (W // 4)
         # full: pan+conf at (H, W); mask: both at (H/2, W/2); hybrid:
-        # pan at (H, W), conf at (H/2, W/2).  The three sizes are
-        # distinct (2nf / 2nh / nf+nh), so the layout is unambiguous.
+        # pan at (H, W), conf at (H/2, W/2); hybrid4: conf at (H/4, W/4).
+        # The sizes are distinct (2nf / 2nh / nf+nh / nf+nq), so the
+        # layout is unambiguous.
         layouts = {2 * nf: (nf, (H, W), nf, (H, W)),
                    2 * nh: (nh, (H // 2, W // 2), nh, (H // 2, W // 2)),
-                   nf + nh: (nf, (H, W), nh, (H // 2, W // 2))}
+                   nf + nh: (nf, (H, W), nh, (H // 2, W // 2)),
+                   nf + nq: (nf, (H, W), nq, (H // 4, W // 4))}
         assert body in layouts, f"wire size {wire.size} vs V={V} ({H},{W})"
         np_, (ph, pw), nc, (ch, cw) = layouts[body]
         pan = wire[:np_].astype(np.int32).reshape(V, ph, pw)

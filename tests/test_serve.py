@@ -106,6 +106,18 @@ def test_serve_wire_hybrid_res(rng):
     cf = cf.repeat(2, axis=1).repeat(2, axis=2)
     np.testing.assert_allclose(dec_h["conf"], cf, atol=2.0 / 255 + 1e-6)
 
+    # hybrid4 (conf 4x4-pooled for traffic-bound links): pan/meta still
+    # bit-exact with the full wire.
+    h4 = np.asarray(eng.serve_device(images, portrait, cls_emb,
+                                     fusion_res="hybrid4"))
+    assert h4.size == full.size - V * H * W + V * (H // 4) * (W // 4)
+    dec_4 = eng.unpack_wire(h4, V)
+    np.testing.assert_array_equal(dec_4["pan"], dec_f["pan"])
+    np.testing.assert_array_equal(dec_4["selected"], dec_f["selected"])
+    cf4 = dec_f["conf"].reshape(V, H // 4, 4, W // 4, 4).mean((2, 4))
+    cf4 = cf4.repeat(4, axis=1).repeat(4, axis=2)
+    np.testing.assert_allclose(dec_4["conf"], cf4, atol=2.0 / 255 + 1e-6)
+
 
 def test_serve_latency_matches_serve_device(rng):
     """serve_latency_device (chunked uploads overlapped with chunked
