@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--keyframes", type=int, default=4)
     ap.add_argument("--half", action="store_true",
                     help="fusion_res='mask' (half-res wire)")
     ap.add_argument("--out", default="/tmp/serve_trace")
@@ -35,7 +36,7 @@ def main():
     from panst3r_tpu.models.presets import panst3r_v1_config
 
     H, W = 384, 512
-    V, K, NCLS = args.views, 4, 32
+    V, K, NCLS = args.views, args.keyframes, 32
     rng = np.random.default_rng(0)
     images = (rng.standard_normal((V, H, W, 3)) * 40 + 127).astype(np.uint8)
     portrait = np.zeros(V, bool)
@@ -48,7 +49,7 @@ def main():
         (H // 16, W // 16))
     engine = InferenceEngine(model, params, Bucket(H, W), num_keyframes=K,
                              chunk=4, amp=True)
-    fusion_res = "mask" if args.half else "full"
+    fusion_res = "mask" if args.half else "hybrid"
 
     wire = engine.serve_device(images, portrait, cls_emb,
                                fusion_res=fusion_res)
