@@ -188,7 +188,8 @@ def panoptic_fusion_multi_ar(mask_cls, mask_pred_views: Sequence,
 
 
 def _fusion_iters(masks, scores, keep, labels, mask_threshold,
-                  overlap_threshold, niters, void_confidence):
+                  overlap_threshold, niters, void_confidence,
+                  axis_name=None):
     """Iterated argmax fusion in compare-select (gather-free) form.
 
     A gather/scatter formulation (`take_along_axis` over the query axis,
@@ -207,8 +208,18 @@ def _fusion_iters(masks, scores, keep, labels, mask_threshold,
     pm = masks.transpose(0, 2, 1, 3, 4)            # (B, Q, V, H, W)
     prob_masks = pm * scores.astype(pm.dtype)[:, :, None, None, None]
 
+    # With ``axis_name`` the VIEW axis is sharded over a mesh axis
+    # (shard_map): the ONLY cross-view coupling is the per-query integer
+    # area sums, so a psum makes every device compute identical
+    # `selected`/`seg_ids` — bit-exact with the single-device fusion
+    # (integer addition is order-free).  This is the distributed
+    # query-fusion of SURVEY §5.8 (the reference fuses on one GPU/CPU).
+    def _vsum(x):
+        tot = x.sum((2, 3, 4))                     # (B, Q) over local views
+        return jax.lax.psum(tot, axis_name) if axis_name else tot
+
     # Per-query area at the 0.5 level — alive-independent (one pass).
-    orig_area = (pm >= 0.5).sum((2, 3, 4))         # (B, Q)
+    orig_area = _vsum((pm >= 0.5).astype(jnp.int32))        # (B, Q)
 
     qid = jnp.arange(Q, dtype=jnp.int32)[None, :, None, None, None]
 
@@ -221,8 +232,8 @@ def _fusion_iters(masks, scores, keep, labels, mask_threshold,
         pm_win = jnp.sum(jnp.where(onehot, pm, 0), axis=1)  # pm[winner]
         alive_win = jnp.any(onehot & alive[:, :, None, None, None], axis=1)
         win_valid = (pm_win >= mask_threshold) & alive_win
-        mask_area = jnp.sum(onehot & win_valid[:, None],
-                            axis=(2, 3, 4), dtype=jnp.int32)  # (B, Q)
+        mask_area = _vsum((onehot & win_valid[:, None])
+                          .astype(jnp.int32))      # (B, Q), global over V
         selected = (alive & (mask_area > 0) & (orig_area > 0)
                     & (mask_area / jnp.maximum(orig_area, 1)
                        >= overlap_threshold))
@@ -243,6 +254,50 @@ def _fusion_iters(masks, scores, keep, labels, mask_threshold,
     pan = jnp.where(assigned, seg_at_winner, 0).astype(jnp.int32)
     conf = jnp.where(assigned, pm_win.astype(jnp.float32), void_confidence)
     return pan, conf, seg_ids, labels, selected
+
+
+def fusion_sharded(mask_cls, mask_pred, true_shape: tuple[int, int], mesh,
+                   axis: str = "mem", label_mode: str = "sigmoid",
+                   cls_threshold: float = 0.1, temperature=None,
+                   mask_threshold: float = 0.25,
+                   overlap_threshold: float = 0.5, niters: int = 2,
+                   void_confidence: float = 0.1):
+    """View-sharded panoptic fusion (SURVEY §5.8 distributed query-fusion).
+
+    The (B, V, Q, h, w) mask tensor is sharded on its VIEW axis over
+    ``mesh[axis]`` — at 50 views / full res it is ~790 MB, the piece that
+    outgrows one chip first.  Each device runs the full compare-select
+    fusion on its view shard; the per-query area sums (the only
+    cross-view coupling) are integer psums, so selection/ids are
+    bit-exact with the single-device `_fusion_full`
+    (tests/test_sharding.py::test_fusion_sharded_matches).  Returns
+    (pan, conf, seg_ids, labels, selected) with pan/conf sharded on V.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jax import shard_map
+
+    nshard = mesh.shape[axis]
+    V = mask_pred.shape[1]
+    assert V % nshard == 0, f"views {V} not divisible by {axis}={nshard}"
+
+    def local(mask_cls, mask_pred):
+        masks, scores, labels, keep = _fusion_scores(
+            mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
+            temperature)
+        return _fusion_iters(masks, scores, keep, labels, mask_threshold,
+                             overlap_threshold, niters, void_confidence,
+                             axis_name=axis)
+
+    spec_v = P(None, axis)                  # (B, V, ...) sharded on views
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), spec_v),
+        out_specs=(spec_v, spec_v, P(), P(), P()))
+    args = (jnp.asarray(mask_cls),
+            jax.device_put(jnp.asarray(mask_pred),
+                           NamedSharding(mesh, P(None, axis))))
+    return jax.jit(fn)(*args)
 
 
 # ---------------------------------------------------------------- QUBO ----

@@ -121,3 +121,27 @@ def test_sharding_helpers():
     assert s.spec == jax.sharding.PartitionSpec(DATA_AXIS, None, None)
     s2 = mem_sharding(mesh, 1, 3)
     assert s2.spec == jax.sharding.PartitionSpec(None, MEM_AXIS, None)
+
+
+def test_fusion_sharded_matches(rng):
+    """View-sharded fusion (SURVEY §5.8 distributed query-fusion): pan /
+    conf / selection bit-exact vs the single-device `_fusion_full` — the
+    cross-view coupling is integer area psums only."""
+    from panst3r_tpu.engine.fusion import _fusion_full, fusion_sharded
+
+    B, V, Q, h, w = 1, 8, 12, 16, 24
+    H, W = 32, 48
+    mask_cls = jnp.asarray(rng.standard_normal((B, Q, 5)) * 2, jnp.float32)
+    mask_pred = jnp.asarray(rng.standard_normal((B, V, Q, h, w)) * 3,
+                            jnp.float32)
+
+    ref = _fusion_full(mask_cls, mask_pred, (H, W), "sigmoid", 0.1, None,
+                       0.25, 0.5, 2, 0.1)
+
+    mesh = build_mesh(MeshSpec(data=2, mem=4))
+    out = fusion_sharded(mask_cls, mask_pred, (H, W), mesh, axis=MEM_AXIS)
+
+    names = ("pan", "conf", "seg_ids", "labels", "selected")
+    for name, a, b in zip(names, out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
