@@ -63,7 +63,10 @@ def main():
 
         print(f"--- {name}: Nq={nq} Nk={nk} (RTT {rtt*1e3:.1f} ms)")
         for bq, bk in [(512, 768), (512, 1536), (1024, 768), (1024, 1536),
-                       (512, 3072), (1024, 3072), (2048, 3072)]:
+                       (512, 3072), (1024, 3072),
+                       # follow-up sweep: bq >= 1536 fails to compile
+                       # (scratch VMEM); bk=2048 measures slower.
+                       (1536, 1536), (1024, 2048), (1536, 2048)]:
             if bk > nk:
                 continue
             # f32 score tiles for both heads of the pair must fit VMEM
