@@ -256,6 +256,9 @@ def _fusion_iters(masks, scores, keep, labels, mask_threshold,
     return pan, conf, seg_ids, labels, selected
 
 
+_FUSION_SHARDED_CACHE: dict = {}
+
+
 def fusion_sharded(mask_cls, mask_pred, true_shape: tuple[int, int], mesh,
                    axis: str = "mem", label_mode: str = "sigmoid",
                    cls_threshold: float = 0.1, temperature=None,
@@ -275,29 +278,45 @@ def fusion_sharded(mask_cls, mask_pred, true_shape: tuple[int, int], mesh,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from jax import shard_map
-
     nshard = mesh.shape[axis]
     V = mask_pred.shape[1]
     assert V % nshard == 0, f"views {V} not divisible by {axis}={nshard}"
 
-    def local(mask_cls, mask_pred):
-        masks, scores, labels, keep = _fusion_scores(
-            mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
-            temperature)
-        return _fusion_iters(masks, scores, keep, labels, mask_threshold,
-                             overlap_threshold, niters, void_confidence,
-                             axis_name=axis)
+    # Compiled-program cache: rebuilding jit(shard_map(...)) per call
+    # would retrace every scene (ADVICE r4) — expensive exactly in the
+    # 50-view streaming regime this path targets.  Keyed on the mesh and
+    # every static fusion parameter; `temperature` may be an array, in
+    # which case it rides as a traced argument.
+    temp_static = (temperature if isinstance(temperature,
+                                             (int, float, type(None)))
+                   else "traced")
+    key = (mesh, axis, true_shape, label_mode, cls_threshold, temp_static,
+           mask_threshold, overlap_threshold, niters, void_confidence)
+    fn = _FUSION_SHARDED_CACHE.get(key)
+    if fn is None:
+        from jax import shard_map
 
-    spec_v = P(None, axis)                  # (B, V, ...) sharded on views
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), spec_v),
-        out_specs=(spec_v, spec_v, P(), P(), P()))
+        def local(mask_cls, mask_pred, temp):
+            masks, scores, labels, keep = _fusion_scores(
+                mask_cls, mask_pred, true_shape, label_mode, cls_threshold,
+                temperature if temp_static != "traced" else temp)
+            return _fusion_iters(masks, scores, keep, labels,
+                                 mask_threshold, overlap_threshold, niters,
+                                 void_confidence, axis_name=axis)
+
+        spec_v = P(None, axis)              # (B, V, ...) sharded on views
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), spec_v, P()),
+            out_specs=(spec_v, spec_v, P(), P(), P())))
+        _FUSION_SHARDED_CACHE[key] = fn
+    temp_arg = (jnp.zeros(()) if temp_static != "traced"
+                else jnp.asarray(temperature))
     args = (jnp.asarray(mask_cls),
             jax.device_put(jnp.asarray(mask_pred),
-                           NamedSharding(mesh, P(None, axis))))
-    return jax.jit(fn)(*args)
+                           NamedSharding(mesh, P(None, axis))),
+            temp_arg)
+    return fn(*args)
 
 
 # ---------------------------------------------------------------- QUBO ----

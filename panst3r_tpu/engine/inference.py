@@ -559,6 +559,9 @@ class InferenceEngine:
                 # per 8-view scene — for links where the pipelined loop is
                 # traffic-bound; the pan plane stays bit-exact either way).
                 s = int(fusion_res[6:] or 2)
+                assert fh % s == 0 and fw % s == 0, (
+                    f"fusion_res={fusion_res!r}: fusion grid {fh}x{fw} not "
+                    f"divisible by the conf pool factor {s}")
                 Vv = conf_hw.shape[0]
                 conf_hw = conf_hw.reshape(Vv, fh // s, s, fw // s, s)
                 conf_hw = conf_hw.mean(axis=(2, 4))

@@ -318,7 +318,11 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
             cands = cands + [_round_up(n, 128)]
         return min(cands, key=lambda c: (_round_up(n, c), -c))
 
-    bq = pick(Nq, [block_q])
+    # bq fallback (ADVICE r4): mid-size Nq that are 512- but not
+    # 1024-multiples (e.g. 1536, 2304) tile exactly at 512 instead of
+    # padding up to the next 1024 boundary; the tuned 1024 still wins at
+    # the 6144-q serve shapes where both divide.
+    bq = pick(Nq, [block_q, 512])
     bk = pick(Nk, [block_k, 1024, 768, 512])
     Nqp, Nkp = _round_up(Nq, bq), _round_up(Nk, bk)
 
