@@ -1,0 +1,181 @@
+"""Predicted multi-chip scaling efficiency from measured single-chip times.
+
+VERDICT r4 #5: put numbers on the scaling claim.  No multi-chip hardware
+exists in this environment, so this is an analytic roofline built from
+(a) the xplane-measured single-chip stage times in PERFORMANCE.md round 4
+and (b) public TPU v5e interconnect figures, with every collective volume
+computed from real tensor shapes.  The modeled designs are the ones the
+code actually implements (ring memory-attention `ops/sharded_attention.py`,
+view sharding, `fusion_sharded`, GSPMD DP training) — not hypotheticals.
+
+Run: python tools/scaling_model.py          (pure arithmetic, no JAX)
+Output: the tables pasted into SCALING.md (kept in sync by hand).
+"""
+from __future__ import annotations
+
+import math
+
+# ---------------------------------------------------------------- hw ----
+# Public TPU v5e figures (jax-ml.github.io/scaling-book, Google specs).
+PEAK_BF16 = 197e12           # FLOP/s
+HBM_GB = 16.0
+ICI_BW = 45e9                # bytes/s one-way per link (2D torus, 1 axis used)
+DCN_BW = 25e9                # bytes/s per host NIC (200 Gbps, assumption)
+CHIPS_PER_HOST = 8
+
+# ------------------------------------------------- measured (r4 xplane) ----
+# Serve, flagship v1, 512x384 bucket, hybrid wire (PERFORMANCE.md round 4).
+SERVE_8V_MS = 138.7          # 8 views / 4 keyframes, whole-scene program
+LONG_MS = 1103.0             # 50 views / 16 keyframes
+LONG_V, LONG_KF = 50, 16
+# Long-memory stage split (xplane + residual):
+LONG_TOWERS = 456.0          # encoder 256 + DINO 200  (per-view work)
+LONG_XATTN = 243.0           # 20.3 ms/call x 12 layers (38400q x 12288kv)
+LONG_RENDER_OTHER = 323.0 - LONG_XATTN   # proj/mlp/self-attn (per-view)
+LONG_PANFUSE = 187.0         # panoptic decode + fusion (est: 30 ms for 8
+                             # views in the 8v serve split, x50/8)
+LONG_WIRE = 17.0             # wire pack + quantize (est)
+LONG_MEMBUILD = LONG_MS - (LONG_TOWERS + LONG_XATTN + LONG_RENDER_OTHER
+                           + LONG_PANFUSE + LONG_WIRE)   # residual ~120
+
+# Training, flagship v1, grid sampling, 256x512 bucket, B=1 V=3.
+STEP_MS = 69.0               # jit_step_fn device time
+STEP_TOWERS = 9.9 + 8.0 + 6.1 + 6.4   # DINO + enc + render + membuild (fwd)
+STEP_HEAD = STEP_MS - STEP_TOWERS     # panoptic fwd+bwd + matcher + loss + opt
+
+# Model tensors.
+TRAINABLE_PARAMS = 151.09e6  # panoptic decoder (reference freeze policy)
+TOTAL_PARAMS = 876.53e6
+DEC_LAYERS, DEC_DIM, TOKENS_PER_VIEW = 12, 1024, 768
+KV_BYTES_PER_LAYER = lambda kf: kf * TOKENS_PER_VIEW * DEC_DIM * 2 * 2
+                             # bf16 x (K,V)
+
+# Wire/link per scene (8 views, hybrid).
+SCENE_UP_MB, SCENE_DOWN_MB = 4.7, 1.97
+
+
+def ring_allreduce_ms(bytes_total: float, n: int, bw: float) -> float:
+    return 2 * (n - 1) / n * bytes_total / bw * 1e3
+
+
+def fmt_pct(x: float) -> str:
+    return f"{100 * x:.0f}%"
+
+
+# ------------------------------------------------------------ scenarios ----
+
+def dp_serving():
+    print("## (i) DP serving (replicated weights, scenes in parallel)\n")
+    print("Zero cross-chip collectives; the only shared resources are the")
+    print("host NIC and PCIe.  Per-scene traffic "
+          f"{SCENE_UP_MB + SCENE_DOWN_MB:.1f} MB at "
+          f"{1e3 * 8 / SERVE_8V_MS:.1f} scenes/s/chip:")
+    per_chip = (SCENE_UP_MB + SCENE_DOWN_MB) * 1e3 / SERVE_8V_MS
+    for n in (1, 8, 32):
+        hosts = max(1, n // CHIPS_PER_HOST)
+        host_mbps = per_chip * min(n, CHIPS_PER_HOST)
+        frac = host_mbps * 1e6 / DCN_BW
+        eff = min(1.0, 1.0 / max(frac, 1e-9)) if frac > 1 else 1.0
+        print(f"  {n:3d} chips ({hosts} host{'s' if hosts > 1 else ''}): "
+              f"{host_mbps:.0f} MB/s/host ingest "
+              f"({100 * frac:.1f}% of DCN) -> efficiency {fmt_pct(eff)}")
+    print()
+
+
+def mem_sharded_serving():
+    print("## (ii) mem-sharded long-memory serving "
+          f"({LONG_V}v/{LONG_KF}kf, per-scene latency)\n")
+    print(f"Single-chip: {LONG_MS:.0f} ms/scene = towers {LONG_TOWERS:.0f}"
+          f" + cross-attn {LONG_XATTN:.0f} + render-other "
+          f"{LONG_RENDER_OTHER:.0f} + panoptic/fusion {LONG_PANFUSE:.0f}"
+          f" + memory build {LONG_MEMBUILD:.0f} + wire {LONG_WIRE:.0f}\n")
+    kvb = KV_BYTES_PER_LAYER(LONG_KF)
+    print(f"Ring memory-attention KV rotation: {kvb / 1e6:.1f} MB/layer; "
+          f"per-layer single-chip compute {LONG_XATTN / DEC_LAYERS:.1f} ms")
+    hdr = ("| chips | towers | x-attn (ring) | other | pan/fuse | membuild"
+           " | wire | total | speedup | eff |")
+    for joint in (False, True):
+        label = ("sequential memory injection (reference semantics)"
+                 if not joint else
+                 "joint memory injection (serving default, init_views=K)")
+        print(f"\n### {label}\n\n{hdr}\n|" + "---|" * 10)
+        for n in (1, 2, 4, 8, 16, 32):
+            towers = LONG_TOWERS / LONG_V * math.ceil(LONG_V / n)
+            # ring: queries sharded, KV rotates; per layer the exposed
+            # time is max(compute/n, comm) with double buffering.
+            comm_l = kvb * (n - 1) / n / ICI_BW * 1e3
+            xattn = DEC_LAYERS * max(LONG_XATTN / DEC_LAYERS / n, comm_l)
+            other = LONG_RENDER_OTHER / LONG_V * math.ceil(LONG_V / n)
+            panfuse = LONG_PANFUSE / LONG_V * math.ceil(LONG_V / n)
+            if joint:
+                # one render-like pass over KF views -> per-view shardable
+                mb = LONG_MEMBUILD / LONG_KF * math.ceil(LONG_KF / n)
+            else:
+                mb = LONG_MEMBUILD       # sequential: Amdahl term
+            total = towers + xattn + other + panfuse + mb + LONG_WIRE
+            sp = LONG_MS / total
+            print(f"| {n} | {towers:.0f} | {xattn:.0f} | {other:.0f} | "
+                  f"{panfuse:.0f} | {mb:.0f} | {LONG_WIRE:.0f} | "
+                  f"{total:.0f} ms | {sp:.2f}x | {fmt_pct(sp / n)} |")
+    print()
+
+
+def dp_training(step_ms: float = STEP_MS, accum: int = 2,
+                overlap: float = 0.7, label: str = ""):
+    print(f"## (iii) DP training (grads 151.1M f32 = 604 MB, reference "
+          f"freeze policy){label}\n")
+    gbytes = TRAINABLE_PARAMS * 4
+    print(f"step {step_ms:.0f} ms device; backward-overlap {overlap:.0%}; "
+          f"grad accumulation x{accum} (reference recipe) amortizes the "
+          f"all-reduce over accum microbatches\n")
+    print("| chips | topology | all-reduce | exposed/step | efficiency |")
+    print("|---|---|---|---|---|")
+    for n, topo in ((8, "1 host, ICI ring"),
+                    (32, "4 hosts, hierarchical ICI+DCN")):
+        if n <= CHIPS_PER_HOST:
+            ar = ring_allreduce_ms(gbytes, n, ICI_BW)
+        else:
+            hosts = n // CHIPS_PER_HOST
+            # in-host reduce-scatter+all-gather on ICI, cross-host ring
+            # all-reduce of per-chip shards; all 8 chip flows share the NIC
+            ici = ring_allreduce_ms(gbytes, CHIPS_PER_HOST, ICI_BW)
+            dcn = 2 * (hosts - 1) / hosts * gbytes / DCN_BW * 1e3
+            ar = ici + dcn
+        exposed = ar * (1 - overlap) / accum
+        eff = step_ms / (step_ms + exposed)
+        print(f"| {n} | {topo} | {ar:.1f} ms | {exposed:.1f} ms | "
+              f"{fmt_pct(eff)} |")
+    print("\nbf16 gradient compression halves every volume above; TP is "
+          "unnecessary at ViT-L (towers frozen; the trainable head is "
+          "151M params = 0.6 GB).\n")
+
+
+def crossover():
+    print("## Crossover: when mem-sharding beats replication\n")
+    weights_gb = TOTAL_PARAMS * 2 / 1e9
+    budget = HBM_GB - weights_gb - 2.0    # ~2 GB activations/workspace
+    kv_per_kf = KV_BYTES_PER_LAYER(1) * DEC_LAYERS / 1e9
+    masks_per_view = 200 * 192 * 256 * 2 / 1e9   # (Q, h, w) f16 fusion masks
+    kf_max = budget / kv_per_kf
+    v_max = budget / masks_per_view
+    print(f"HBM budget after bf16 weights ({weights_gb:.1f} GB) and ~2 GB "
+          f"workspace: {budget:.1f} GB")
+    print(f"- KV memory banks: {kv_per_kf * 1e3:.1f} MB/keyframe -> "
+          f"replication holds up to ~{kf_max:.0f} keyframes")
+    print(f"- fusion mask tensor: {masks_per_view * 1e3:.1f} MB/view (f16) "
+          f"-> up to ~{v_max:.0f} views per chip")
+    print("\nFor THROUGHPUT, DP replication wins at every size that fits "
+          "(zero collectives); mem-sharding is the latency tool (4-7x per-"
+          "scene speedup above) and the capacity tool beyond ~"
+          f"{kf_max:.0f} keyframes / ~{v_max:.0f} views, where the scene "
+          "no longer fits one chip and sharding is the only option.\n")
+
+
+if __name__ == "__main__":
+    consistency = (LONG_TOWERS + LONG_XATTN + LONG_RENDER_OTHER
+                   + LONG_PANFUSE + LONG_MEMBUILD + LONG_WIRE)
+    assert abs(consistency - LONG_MS) < 1e-6
+    dp_serving()
+    mem_sharded_serving()
+    dp_training()
+    crossover()
