@@ -88,6 +88,10 @@ class ExperimentConfig:
     # Host data pipeline: per-batch sample-decode thread pool + background
     # batch prefetch (the reference's DataLoader num_workers analog).
     loader_workers: int = 4
+    # "process" (default): spawn worker processes — the decode/augment
+    # path is GIL-bound numpy, so threads plateau; "thread" for
+    # unpicklable datasets or debugging (see data/loader.epoch_batches).
+    loader_workers_mode: str = "process"
     loader_prefetch: int = 2
     text_encoder: str = "siglip"
     # PQ eval cadence (the reference's train.py:290 eval is a TODO; here it
@@ -300,7 +304,8 @@ def main(argv=None):
                                 rank=dist.process_index(),
                                 world_size=dist.process_count(),
                                 num_resolutions=len(exp.resolution),
-                                workers=exp.loader_workers)
+                                workers=exp.loader_workers,
+                                workers_mode=exp.loader_workers_mode)
         if exp.loader_prefetch > 0:
             batches = prefetch(batches, exp.loader_prefetch)
         with mesh:

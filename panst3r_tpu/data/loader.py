@@ -9,9 +9,10 @@ preparation (data/targets.py).  Output batches are numpy pytrees ready for
 """
 from __future__ import annotations
 
+import collections
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -72,41 +73,112 @@ def collate_batch(samples: Sequence[Sequence[dict]], classes: list[str],
             "targets": targets}
 
 
+# Spawn-worker state: each worker process unpickles the dataset once at
+# pool start (initargs), then serves (idx, res) keys from it — the torch
+# DataLoader model (reference train.py:162-164) without per-task dataset
+# pickling.
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    try:                    # cv2 spins an internal pool per process —
+        import cv2          # one thread each or N workers oversubscribe
+        cv2.setNumThreads(0)
+    except ImportError:     # pragma: no cover
+        pass
+
+
+def _process_worker_get(key):
+    return _WORKER_DATASET[key]
+
+
 def epoch_batches(dataset, batch_size: int, classes: list[str],
                   max_instances: int, epoch: int, seed: int = 777,
                   rank: int = 0, world_size: int = 1,
                   num_resolutions: int = 1,
-                  workers: int = 0) -> Iterator[dict]:
+                  workers: int = 0,
+                  workers_mode: str = "process") -> Iterator[dict]:
     """Deterministic per-epoch iterator with rank sharding.
 
     All samples of one batch share a resolution bucket (drawn per batch) so
     shapes stay static per compiled executable — the reference gets the
     same effect by sampling `resolution` once per __getitem__ tuple.
 
-    ``workers`` > 0 loads the samples of each batch through a thread pool
-    (PIL/numpy release the GIL during decode) — the analog of torch
+    ``workers`` > 0 loads samples through a pool — the analog of torch
     DataLoader's `num_workers` (reference train.py:162-164).  Batch order
     and contents are identical regardless of ``workers``.
+    ``workers_mode="process"`` (default) uses spawn-based worker
+    processes: the decode/augment path is mostly GIL-bound numpy, so
+    threads plateau at ~1.5x regardless of count (measured,
+    PERFORMANCE.md r5) while processes scale with cores — the same
+    reason torch's DataLoader forks.  ``"thread"`` keeps the in-process
+    pool (no pickling; useful for unpicklable datasets or debugging).
+    Sample futures are pipelined ``2*workers`` ahead across batch
+    boundaries so small batch sizes still fill every worker.
     """
     dataset.set_epoch(epoch)
     rng = np.random.default_rng(seed + epoch)
     order = rng.permutation(len(dataset))
     order = order[rank::world_size]
     n_batches = len(order) // batch_size
-    pool = ThreadPoolExecutor(workers) if workers > 0 else None
+    batch_keys = []
+    for b in range(n_batches):
+        idxs = order[b * batch_size:(b + 1) * batch_size]
+        res_idx = int(rng.integers(num_resolutions))
+        batch_keys.append([(int(i), res_idx) for i in idxs])
+
+    if workers <= 0:
+        for keys in batch_keys:
+            yield collate_batch([dataset[k] for k in keys], classes,
+                                max_instances)
+        return
+
+    if workers_mode == "process":
+        import multiprocessing as mp
+        import os
+        import sys
+
+        # spawn re-imports __main__ in the child; a REPL / stdin / -c
+        # parent has no importable main and every worker dies at start.
+        main_mod = sys.modules.get("__main__")
+        main_file = getattr(main_mod, "__file__", None)
+        if main_file is not None and not os.path.exists(main_file):
+            main_file = None
+        if main_file is None and getattr(main_mod, "__spec__", None) is None:
+            workers_mode = "thread"
+
+    if workers_mode == "process":
+        # spawn, not fork: the parent is multi-threaded (prefetch,
+        # dispatch) and typically has an XLA client up — forking either
+        # is a lock-state lottery.  Children import numpy/cv2/PIL only.
+        pool = ProcessPoolExecutor(
+            workers, mp_context=mp.get_context("spawn"),
+            initializer=_process_worker_init, initargs=(dataset,))
+        submit = lambda key: pool.submit(_process_worker_get, key)  # noqa: E731
+    elif workers_mode == "thread":
+        pool = ThreadPoolExecutor(workers)
+        submit = lambda key: pool.submit(dataset.__getitem__, key)  # noqa: E731
+    else:
+        raise ValueError(f"workers_mode={workers_mode!r}")
+
     try:
-        for b in range(n_batches):
-            idxs = order[b * batch_size:(b + 1) * batch_size]
-            res_idx = int(rng.integers(num_resolutions))
-            keys = [(int(i), res_idx) for i in idxs]
-            if pool is not None:
-                samples = list(pool.map(dataset.__getitem__, keys))
-            else:
-                samples = [dataset[k] for k in keys]
+        inflight = max(2 * workers, 2 * batch_size)
+        pending: collections.deque = collections.deque()
+        n_submitted = 0
+        bi = 0
+        while bi < len(batch_keys) or pending:
+            while bi < len(batch_keys) and n_submitted < inflight:
+                pending.append([submit(k) for k in batch_keys[bi]])
+                n_submitted += len(batch_keys[bi])
+                bi += 1
+            futs = pending.popleft()
+            samples = [f.result() for f in futs]
+            n_submitted -= len(futs)
             yield collate_batch(samples, classes, max_instances)
     finally:
-        if pool is not None:
-            pool.shutdown(wait=False, cancel_futures=True)
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def prefetch(batches: Iterator[dict], depth: int = 2) -> Iterator[dict]:

@@ -195,14 +195,17 @@ def test_loader_workers_and_prefetch_parity(tmp_path, rng):
     ds = ScanNetppPanoptic(str(tmp_path), resolution=(64, 48), num_views=2,
                            aug_crop=0)
     ref = list(epoch_batches(ds, 2, ds.classes, 8, epoch=1))
-    thr = list(prefetch(epoch_batches(ds, 2, ds.classes, 8, epoch=1,
-                                      workers=3), depth=2))
-    assert len(ref) == len(thr)
-    for a, b in zip(ref, thr):
-        np.testing.assert_array_equal(a["images"], b["images"])
-        np.testing.assert_array_equal(a["targets"].labels,
-                                      b["targets"].labels)
-        np.testing.assert_array_equal(a["targets"].masks, b["targets"].masks)
+    for mode in ("thread", "process"):
+        got = list(prefetch(epoch_batches(ds, 2, ds.classes, 8, epoch=1,
+                                          workers=3, workers_mode=mode),
+                            depth=2))
+        assert len(ref) == len(got)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a["images"], b["images"])
+            np.testing.assert_array_equal(a["targets"].labels,
+                                          b["targets"].labels)
+            np.testing.assert_array_equal(a["targets"].masks,
+                                          b["targets"].masks)
 
     def boom():
         yield ref[0]
