@@ -228,7 +228,17 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
                   scale: float, nk_blocks: int, rope: bool, kbias: bool):
     """Blocked cross-attention over the token memory: lane-block head
     pairs (transpose-free), online softmax across k blocks, optional
-    per-key additive bias (memory validity) and RoPE tables."""
+    per-key additive bias (memory validity) and RoPE tables.
+
+    r5 VPU-chain cuts (the kernel ran at ~68% of the d=64 lane bound;
+    the gap was elementwise passes serialized against the MXU):
+    - the softmax scale is folded into the q stream once at init (rope:
+      pre-scaled q tables from the host; else one f32 multiply on the
+      (bq, 128) block) — no per-block (bq, bk) scale pass;
+    - both heads' score matmuls issue before either softmax chain, so
+      Mosaic can overlap head 1's MXU work with head 0's VPU chain
+      (measured 22.7 → 14.4 ms at 38400 q × 12288 kv — the d=64 lane
+      bound; tools/ab_cross_blocks.py r5)."""
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -238,13 +248,16 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
             l[...] = jnp.zeros_like(l)
             a[...] = jnp.zeros_like(a)
         if rope:
+            # q tables arrive pre-multiplied by scale·log2(e) (host prep)
+            # so the scaled, rotated q costs nothing extra here.
             qf = q_ref[0].astype(jnp.float32)
             q_scr[...] = (qf * qcos_ref[0] + _rot2d_pair(qf)
                           * qsin_ref[0]).astype(q_scr.dtype)
         else:
-            q_scr[...] = q_ref[0]
+            q_scr[...] = (q_ref[0].astype(jnp.float32)
+                          * scale).astype(q_scr.dtype)
 
-    def _block_body():
+    def _block_body(add_bias):
         q = q_scr[...]                             # (bq, 128)
         k = k_ref[0]                               # (bk, 128)
         v = v_ref[0]
@@ -253,28 +266,39 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
             k = (kf * kcos_ref[0] + _rot2d_pair(kf)
                  * ksin_ref[0]).astype(k.dtype)
 
-        for h, (m_scr, l_scr, acc_scr) in enumerate(((m0, l0, a0),
-                                                     (m1, l1, a1))):
+        heads = ((m0, l0, a0), (m1, l1, a1))
+        # Both score matmuls issue BEFORE either softmax chain — head 1's
+        # MXU contraction overlaps head 0's VPU chain (the main r5 win).
+        # Each head's chain then completes (exp2 → l → AV matmul) before
+        # the next starts, so at most s0, s1 and one p tile are live —
+        # keeping the (bq, bk) f32 stack inside the 16 MB scoped-VMEM
+        # limit (an interleave that kept both p tiles live OOM'd the
+        # compiler at bq=1024).
+        s = []
+        for h in (0, 1):
             sl = slice(64 * h, 64 * (h + 1))
-            s = jax.lax.dot_general(
+            sh = jax.lax.dot_general(
                 q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if kbias:
-                s = s + kb_ref[0]                  # (1, bk), pre-scaled
+                preferred_element_type=jnp.float32)
+            if add_bias:
+                sh = sh + kb_ref[0]                # (1, bk), pre-scaled
+            s.append(sh)
+        for h, (m_scr, l_scr, acc_scr) in enumerate(heads):
             m_prev = m_scr[:, :1]
             l_prev = l_scr[:, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s[h], axis=-1, keepdims=True))
             # Fully-masked-so-far guard (see flash_attention.py _kernel).
             safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
-            p = jnp.exp2(s - safe_m)
+            p = jnp.exp2(s[h] - safe_m)
             alpha = jnp.exp2(m_prev - safe_m)
             l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc_scr[...] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
             m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
             l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
-            acc_scr[...] = acc
+            sl = slice(64 * h, 64 * (h + 1))
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     if kbias:
         # Validity-aware tile skip: a key block whose bias row is all
@@ -285,9 +309,9 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
         # mem_labels, engine/must3r.py:76).
         @pl.when(jnp.max(kb_ref[0]) > _NEG_INF / 2)
         def _valid_block():
-            _block_body()
+            _block_body(True)
     else:
-        _block_body()
+        _block_body(False)
 
     @pl.when(ik == nk_blocks - 1)
     def _fin():
@@ -300,13 +324,15 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
 
 
 def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
-               block_q: int = 1024, block_k: int = 1536):
-    """Block defaults measured on chip (tools/ab_cross_blocks.py, r4):
-    at the serve-render shape (6144 q × 3072 kv) bq=1024/bk=1536 runs
-    0.718 ms/call vs 1.659 at 512/768 — fewer online-softmax carry steps
-    against bigger MXU contractions; same 2.1× at the 12288-kv
-    long-memory shape.  (bq=1024, bk=3072 fails to compile: the two
-    (bq, bk) f32 score tiles overflow VMEM.)"""
+               block_q: int = 1536, block_k: int = 1536):
+    """Block defaults measured on chip (tools/ab_cross_blocks.py, r5
+    sweep with the raised in-kernel VMEM limit): at the 50-view render
+    shape (38400 q × 12288 kv) bq=1536/bk=1536 runs 19.76 ms/call vs
+    22.9 at the old r4 (1024, 1536) default — the per-grid-step exposed
+    VPU time shrinks with block area, and 38400 = 25×1536 tiles exactly.
+    Serve shape (6144 q × 3072 kv) is within noise of the r4 optimum
+    (0.82-0.83 vs 0.79-0.85 across passes).  bq beyond 1536 pads 38400
+    and loses; bk=3072 loses the carry-count gain to bigger live tiles."""
     B, Nq, C = q.shape
     Nk = k.shape[1]
     P = C // 128
@@ -318,11 +344,11 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
             cands = cands + [_round_up(n, 128)]
         return min(cands, key=lambda c: (_round_up(n, c), -c))
 
-    # bq fallback (ADVICE r4): mid-size Nq that are 512- but not
-    # 1024-multiples (e.g. 1536, 2304) tile exactly at 512 instead of
-    # padding up to the next 1024 boundary; the tuned 1024 still wins at
-    # the 6144-q serve shapes where both divide.
-    bq = pick(Nq, [block_q, 512])
+    # Fallbacks (ADVICE r4): mid-size Nq that are 512- but not
+    # 1536-multiples (e.g. 2048, 2304) tile exactly at a smaller block
+    # instead of padding up to the next 1536 boundary; the tuned 1536
+    # wins at the 6144/38400-q render shapes where it divides.
+    bq = pick(Nq, [block_q, 1024, 512])
     bk = pick(Nk, [block_k, 1024, 768, 512])
     Nqp, Nkp = _round_up(Nq, bq), _round_up(Nk, bk)
 
@@ -346,12 +372,16 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
     ]
     if rope:
-        def prep(t, n):
-            t = jnp.tile(t.astype(jnp.float32), (1, 1, 2))
+        def prep(t, n, mul=1.0):
+            t = jnp.tile(t.astype(jnp.float32) * mul, (1, 1, 2))
             if t.shape[1] != n:
                 t = jnp.pad(t, ((0, 0), (0, n - t.shape[1]), (0, 0)))
             return t
-        args += [prep(qtab[0], Nqp), prep(qtab[1], Nqp),
+        # q tables carry the softmax scale (×log2 e for the exp2-domain
+        # softmax): the scaled rotated q is built once in the kernel's
+        # init step and no per-(bq, bk) scale pass exists at all.
+        sa = scale * _LOG2E
+        args += [prep(qtab[0], Nqp, sa), prep(qtab[1], Nqp, sa),
                  prep(ktab[0], Nkp), prep(ktab[1], Nkp)]
         in_specs += [
             pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, 0)),
@@ -395,7 +425,13 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 64), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The interleaved-heads body keeps ~4 (bq, bk) f32 tiles live
+            # (s0, s1, p, one elementwise temp) — past the 16 MB default
+            # scoped-VMEM cap at bq=1024, well inside v5e's physical
+            # VMEM.  Sized from the tiles + double-buffered IO margin.
+            vmem_limit_bytes=min(100 * 2**20,
+                                 6 * bq * bk * 4 + 16 * 2**20)),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * 2 * P * Nq * Nk * 64,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,

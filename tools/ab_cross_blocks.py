@@ -31,8 +31,11 @@ def main():
     B, C = 1, 768
     REPS = int(os.environ.get("AB_REPS", "30"))
 
-    shapes = [("serve-render", 6144, 3072), ("long-mem", 6144, 12288)]
-    grids = {6144: (8 * 24, 32), 3072: (4 * 24, 32), 12288: (16 * 24, 32)}
+    shapes = [("serve-render", 6144, 3072), ("long-mem", 6144, 12288),
+              # the actual 50-view render call: all views folded into Nq
+              ("long-mem-full", 38400, 12288)]
+    grids = {6144: (8 * 24, 32), 3072: (4 * 24, 32), 12288: (16 * 24, 32),
+             38400: (50 * 24, 32)}
 
     rng = np.random.default_rng(0)
 
@@ -64,13 +67,16 @@ def main():
         print(f"--- {name}: Nq={nq} Nk={nk} (RTT {rtt*1e3:.1f} ms)")
         for bq, bk in [(512, 768), (512, 1536), (1024, 768), (1024, 1536),
                        (512, 3072), (1024, 3072),
-                       # follow-up sweep: bq >= 1536 fails to compile
-                       # (scratch VMEM); bk=2048 measures slower.
-                       (1536, 1536), (1024, 2048), (1536, 2048)]:
+                       (1536, 1536), (1024, 2048), (1536, 2048),
+                       # r5: the raised in-kernel vmem_limit_bytes makes
+                       # big blocks compile; per-grid-step exposed VPU
+                       # time shrinks with block area.
+                       (2048, 1536), (1536, 3072), (2048, 2048),
+                       (3072, 1536), (2048, 3072)]:
             if bk > nk:
                 continue
-            # f32 score tiles for both heads of the pair must fit VMEM
-            if 2 * bq * bk * 4 > 40 * 2**20:
+            # ~4 live (bq, bk) f32 tiles must fit the raised VMEM budget
+            if 6 * bq * bk * 4 + 16 * 2**20 > 110 * 2**20:
                 continue
 
             def run(q, k, v, qtab, ktab, bias, bq=bq, bk=bk):
