@@ -210,7 +210,17 @@ def make_train_step(model, tx, loss_config: PanopticLossConfig,
         (loss, details), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if train_mask is not None:
+            # Frozen params alias straight through instead of riding
+            # `apply_updates` (p + 0): the full-tree add read+wrote all
+            # 876M params every step — measured 29.7 ms of the 78 ms
+            # flagship step, pure HBM traffic for parameters that never
+            # change (tools/train_step_bench.py TSB_BREAKDOWN, r5).
+            params = jax.tree_util.tree_map(
+                lambda m, p, u: optax.apply_updates(p, u) if m else p,
+                train_mask, state.params, updates)
+        else:
+            params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, opt_state=opt_state,
                                   step=state.step + 1)
         return new_state, loss, details

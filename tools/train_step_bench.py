@@ -117,6 +117,82 @@ def main():
     assert all(np.isfinite(v) for v in vals)
     print(f"pipelined ({npipe} steps, one sync): {pipe_s:.3f}s/step")
 
+    # TSB_BREAKDOWN=1: attribute the step by timing jitted sub-graphs
+    # (VERDICT r4 #3 — the xplane splits towers out but leaves panoptic
+    # fwd+bwd+matcher+loss+AdamW as one residual).  Components:
+    # fwd_model (towers + panoptic fwd), criterion (matcher + PointRend
+    # losses on precomputed head outputs), fwd+loss (one graph),
+    # fwd+loss+bwd (value_and_grad, no optimizer); then
+    # bwd = t_grad - t_fwdloss and in-step optimizer = t_step - t_grad.
+    if os.environ.get("TSB_BREAKDOWN") == "1":
+        from panst3r_tpu.engine.criterion import panoptic_loss
+
+        def timeit(fn, *args, n=6):
+            # rebind per iteration so only one output pytree is ever
+            # referenced — a list of n step-size outputs OOMs HBM
+            out = None
+            for _ in range(2):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / n
+
+        @jax.jit
+        def f_model(p, batch, cls_emb):
+            panout, _ = model.apply(p, batch["images"], batch["portrait"],
+                                    cls_emb, GRID)
+            return panout
+
+        @jax.jit
+        def f_fwdloss(p, batch, cls_emb, key):
+            panout, _ = model.apply(p, batch["images"], batch["portrait"],
+                                    cls_emb, GRID)
+            return panoptic_loss(key, panout, batch["targets"],
+                                 tcfg.loss)[0]
+
+        @jax.jit
+        def f_crit(key, panout):
+            return panoptic_loss(key, panout, batch["targets"],
+                                 tcfg.loss)[0]
+
+        # Sequence the timings with explicit frees — panout (with aux
+        # outputs), a full-params grads pytree and a step's output state
+        # alive TOGETHER exhaust the 16 GB HBM at the 256 bucket.
+        # value_and_grad WITHOUT the optimizer: bwd = t_grad - t_fwdloss,
+        # in-step optimizer = t_step - t_grad.  (A standalone optimizer
+        # timing is NOT comparable: its zero grads arrive as runtime
+        # arguments, so the global-norm clip reads the full 3.5 GB tree
+        # that the fused step constant-folds away.)
+        mask2 = trainable_mask(state.params)
+
+        @jax.jit
+        def f_grad(p, batch, cls_emb, key):
+            def lf(diff):
+                merged = jax.tree_util.tree_map(
+                    lambda m, t, f: t if m else f, mask2, diff, p)
+                panout, _ = model.apply(merged, batch["images"],
+                                        batch["portrait"], cls_emb, GRID)
+                return panoptic_loss(key, panout, batch["targets"],
+                                     tcfg.loss)[0]
+            return jax.value_and_grad(lf)(p)[0]
+
+        key0 = jax.random.PRNGKey(7)
+        panout_dev = f_model(state.params, batch, cls_emb)
+        t_crit = timeit(f_crit, key0, panout_dev)
+        del panout_dev
+        t_model = timeit(f_model, state.params, batch, cls_emb)
+        t_fwdloss = timeit(f_fwdloss, state.params, batch, cls_emb, key0)
+        t_grad = timeit(f_grad, state.params, batch, cls_emb, key0, n=3)
+        t_step = timeit(lambda: step(state, batch, cls_emb, key0)[1], n=3)
+        print(f"breakdown (s, pipelined): fwd_model={t_model:.4f}  "
+              f"criterion={t_crit:.4f}  fwd+loss={t_fwdloss:.4f}  "
+              f"fwd+loss+bwd={t_grad:.4f}  full_step={t_step:.4f}  "
+              f"bwd~={t_grad - t_fwdloss:.4f}  "
+              f"opt~={t_step - t_grad:.4f}")
+
     # MFU by the jaxpr matmul/conv counter (scan-aware; XLA's HLO cost
     # model undercounts while-bodies ~6x — PERFORMANCE.md round 2).
     from panst3r_tpu.ops.flops import fn_matmul_flops
