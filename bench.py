@@ -19,6 +19,96 @@ import time
 import numpy as np
 
 
+def link_probe(n: int = 4):
+    """Measure host↔device link health through the (tunneled) runtime.
+
+    Returns {rpc_floor_ms, down_MBps, up_MBps} — best over ``n`` tries
+    (the least-congested instant) plus the median, so a congested window
+    is visible in the artifact itself (VERDICT r4 #1: the round-4
+    headline collapsed 2.6x purely from tunnel congestion and the JSON
+    carried nothing to prove it).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    # A FRESH device array per fetch: jax caches the host copy after the
+    # first np.asarray of an Array, so re-fetching the same buffer
+    # measures a memcpy, not the link.
+    del dev  # single-device process: default placement
+    mk_scalar = jax.jit(lambda i: jnp.float32(i) * 1.0)
+    mk_buf = jax.jit(lambda i: jnp.full((8 << 20,), i, jnp.uint8))
+    np.asarray(mk_scalar(0))
+    rpc = []
+    for i in range(n):
+        s = jax.block_until_ready(mk_scalar(i + 1))
+        t0 = time.perf_counter()
+        np.asarray(s)
+        rpc.append((time.perf_counter() - t0) * 1e3)
+    mb = 8
+    np.asarray(mk_buf(0))
+    down = []
+    for i in range(n):
+        b = jax.block_until_ready(mk_buf(i + 1))
+        t0 = time.perf_counter()
+        np.asarray(b)
+        down.append(mb / (time.perf_counter() - t0))
+    host = np.ones(mb << 20, np.uint8)
+    up = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(host, dev))
+        up.append(mb / (time.perf_counter() - t0))
+    return {
+        "rpc_floor_ms": round(min(rpc), 2),
+        "rpc_median_ms": round(float(np.median(rpc)), 2),
+        "down_MBps": round(max(down), 1),
+        "down_median_MBps": round(float(np.median(down)), 1),
+        "up_MBps": round(max(up), 1),
+        "up_median_MBps": round(float(np.median(up)), 1),
+    }
+
+
+def device_ms_per_scene(run_scene, reps: int = 3):
+    """xplane-measured device ms/scene of an already-compiled program.
+
+    Captures a jax.profiler trace around ``reps`` blocked runs and sums
+    the TPU plane's "XLA Modules" rows — pure device busy time, immune
+    to host-link congestion.  Returns None if the profiler is
+    unavailable on this runtime.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from xplane_summary import summarize
+
+    trace_dir = tempfile.mkdtemp(prefix="bench_xplane_")
+    try:
+        jax.block_until_ready(run_scene())  # warm (no compile in trace)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(reps):
+                jax.block_until_ready(run_scene())
+        paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                          recursive=True)
+        if not paths:
+            return None
+        total = 0.0
+        for name, ms, _ in summarize(paths[0], 400):
+            if "::XLA Modules::" in name:
+                total += ms
+        return total / reps if total else None
+    except Exception as e:
+        print(f"# device-truth capture unavailable: {e}", file=sys.stderr)
+        return None
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
 def main():
     import jax
 
@@ -154,6 +244,9 @@ def main():
         medians[label] = float(np.median(passes))
         return max(passes)
 
+    link_pre = link_probe()
+    print(f"# link (pre): {link_pre}", file=sys.stderr)
+
     thr_fps = throughput_loop("throughput")
 
     # --- Batched-scenes throughput (BENCH_MANY=S): S scenes vmapped into
@@ -184,6 +277,18 @@ def main():
     # wire drops 3.15 -> 1.97 MB/scene, moving the pipelined loop from
     # link-bound to compute-bound on the ~30 MB/s tunnel.
     hyb_fps = throughput_loop("hybrid", fusion_res="hybrid")
+
+    # --- Device truth (VERDICT r4 #1): xplane-measured device ms/scene
+    # of the hybrid serve program — the number a congested window cannot
+    # touch.  Wall fps stays the headline; this field is the floor under
+    # it.
+    dev_ms = device_ms_per_scene(
+        lambda: engine.serve_device(images, portrait, cls_emb,
+                                    fusion_res="hybrid"))
+    if dev_ms:
+        print(f"# device truth: serve program {dev_ms:.1f} ms/scene "
+              f"({1e3 * V / dev_ms:.1f} fps device ceiling)",
+              file=sys.stderr)
 
     # --- Half-res wire (serving option): fusion at the stride-2 mask
     # resolution, host nearest-upsample — 4x less fusion HBM traffic and
@@ -217,6 +322,11 @@ def main():
             assert n_out == n_long
             passes.append(n_long * longv / (time.perf_counter() - t0))
         long_fps, long_med = max(passes), float(np.median(passes))
+        long_dev_ms = device_ms_per_scene(
+            lambda: engine.serve_device(imgs_l, port_l, cls_dev, **lkw),
+            reps=2)
+    else:
+        long_dev_ms = None
 
     # --- MFU: analytic matmul/conv FLOPs from the jaxpr counter
     # (ops/flops.py) over the stage programs — XLA's HLO cost model
@@ -257,11 +367,40 @@ def main():
             print(f"# long-memory {longv}v/{longk}kf: {long_fps:.2f} fps "
                   f"(median {long_med:.2f})", file=sys.stderr)
 
+    link_post = link_probe()
+    print(f"# link (post): {link_post}", file=sys.stderr)
+
     modes = {"latency": lat_fps, "throughput_pipelined": thr_fps,
              "throughput_hybrid_wire": hyb_fps}
     if many_fps:
         modes[f"batched[{many}]"] = many_fps
     mode = max(modes, key=modes.get)
+
+    # Congestion detection (VERDICT r4 #1): in round 4 the official
+    # number collapsed 2.6x from tunnel weather while the code was ~20%
+    # faster.  Signatures, any of which flags the run: (a) the
+    # wire-light halfres mode beating the hybrid mode by >1.5x (the r4
+    # signature — both run the same device program ±4 ms); (b) measured
+    # link bandwidth below 20 MB/s (healthy windows measure 30-45);
+    # (c) wall fps below 60% of the device ceiling (the pipelined loop
+    # measures 80-90% of it in clean windows).
+    congestion_signals = []
+    if halfres_fps > 1.5 * hyb_fps:
+        congestion_signals.append(
+            f"halfres/hybrid={halfres_fps / hyb_fps:.2f}")
+    link_mbps = min(link_pre["down_median_MBps"],
+                    link_post["down_median_MBps"])
+    if link_mbps < 20.0:
+        congestion_signals.append(f"link={link_mbps:.0f}MB/s")
+    if dev_ms and modes[mode] < 0.6 * (1e3 * V / dev_ms):
+        congestion_signals.append(
+            f"wall/device={modes[mode] * dev_ms / (1e3 * V):.2f}")
+    congested = bool(congestion_signals)
+    if congested:
+        print(f"# CONGESTED WINDOW: {', '.join(congestion_signals)} — "
+              f"wall fps is link-limited; device fields carry the truth",
+              file=sys.stderr)
+
     out = {
         "metric": "inference_frames_per_s_per_chip_512px",
         "value": round(modes[mode], 3),
@@ -272,12 +411,31 @@ def main():
             {"throughput_pipelined": "throughput",
              "throughput_hybrid_wire": "hybrid"}.get(mode, mode),
             modes[mode]), 3),
+        "congested": congested,
+        "link": {"pre": link_pre, "post": link_post},
+        "wall_fps": {k: round(v, 2) for k, v in modes.items()} | {
+            "halfres": round(halfres_fps, 2)},
     }
+    if congestion_signals:
+        out["congestion_signals"] = congestion_signals
+    if dev_ms:
+        dev = {"serve_ms_per_scene": round(dev_ms, 1),
+               "fps_ceiling": round(1e3 * V / dev_ms, 2)}
+        try:
+            dev["device_mfu"] = round(
+                engine.pipeline_flops(V, K) / (dev_ms / 1e3)
+                / (peak_tf * 1e12), 4)
+        except Exception:
+            pass
+        out["device"] = dev
     if long_fps:
         out["long_context"] = {
             "views": longv, "keyframes": longk,
             "fps": round(long_fps, 3), "median": round(long_med, 3),
-            **({"mfu": round(long_mfu, 4)} if long_mfu else {})}
+            **({"mfu": round(long_mfu, 4)} if long_mfu else {}),
+            **({"device_ms_per_scene": round(long_dev_ms, 1),
+                "device_fps_ceiling": round(1e3 * longv / long_dev_ms, 2)}
+               if long_dev_ms else {})}
     print(json.dumps(out))
 
 
