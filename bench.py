@@ -35,7 +35,6 @@ def link_probe(n: int = 4):
     # A FRESH device array per fetch: jax caches the host copy after the
     # first np.asarray of an Array, so re-fetching the same buffer
     # measures a memcpy, not the link.
-    del dev  # single-device process: default placement
     mk_scalar = jax.jit(lambda i: jnp.float32(i) * 1.0)
     mk_buf = jax.jit(lambda i: jnp.full((8 << 20,), i, jnp.uint8))
     np.asarray(mk_scalar(0))

@@ -225,20 +225,22 @@ _tower_mha.defvjp(_tower_mha_fwd, _tower_mha_bwd)
 def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
                   ksin_ref, kb_ref, o_ref,
                   q_scr, m0, l0, a0, m1, l1, a1, *,
-                  scale: float, nk_blocks: int, rope: bool, kbias: bool):
+                  scale: float, nk_blocks: int, rope: bool, kbias: bool,
+                  sub_k: int = 1, bk_in: int = 0):
     """Blocked cross-attention over the token memory: lane-block head
     pairs (transpose-free), online softmax across k blocks, optional
     per-key additive bias (memory validity) and RoPE tables.
 
-    r5 VPU-chain cuts (the kernel ran at ~68% of the d=64 lane bound;
+    r5 VPU-chain cuts (the kernel ran at ~70% of the d=64 lane bound;
     the gap was elementwise passes serialized against the MXU):
     - the softmax scale is folded into the q stream once at init (rope:
       pre-scaled q tables from the host; else one f32 multiply on the
       (bq, 128) block) — no per-block (bq, bk) scale pass;
-    - both heads' score matmuls issue before either softmax chain, so
-      Mosaic can overlap head 1's MXU work with head 0's VPU chain
-      (measured 22.7 → 14.4 ms at 38400 q × 12288 kv — the d=64 lane
-      bound; tools/ab_cross_blocks.py r5)."""
+    - all score matmuls of a block issue before any softmax chain, so
+      later MXU contractions overlap earlier VPU chains;
+    - ``sub_k`` > 1 splits the fetched k block into sub-blocks whose
+      softmax chains run back-to-back against the pre-issued matmuls —
+      more overlap windows per DMA (the "two-stage k-tiling" lever)."""
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -259,7 +261,7 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
 
     def _block_body(add_bias):
         q = q_scr[...]                             # (bq, 128)
-        k = k_ref[0]                               # (bk, 128)
+        k = k_ref[0]                               # (sub_k·bk_in, 128)
         v = v_ref[0]
         if rope:
             kf = k.astype(jnp.float32)
@@ -267,38 +269,45 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
                  * ksin_ref[0]).astype(k.dtype)
 
         heads = ((m0, l0, a0), (m1, l1, a1))
-        # Both score matmuls issue BEFORE either softmax chain — head 1's
-        # MXU contraction overlaps head 0's VPU chain (the main r5 win).
-        # Each head's chain then completes (exp2 → l → AV matmul) before
-        # the next starts, so at most s0, s1 and one p tile are live —
-        # keeping the (bq, bk) f32 stack inside the 16 MB scoped-VMEM
-        # limit (an interleave that kept both p tiles live OOM'd the
-        # compiler at bq=1024).
+        nsub = max(sub_k, 1)
+        bki = bk_in if bk_in else k.shape[0]
+        # Every (sub, head) score matmul issues BEFORE any softmax chain
+        # — later MXU contractions overlap earlier VPU chains (the main
+        # r5 restructure).  Each chain then completes (exp2 → l → AV
+        # matmul) before the next starts, so only the score tiles plus
+        # one p tile are live; the raised vmem_limit_bytes covers the
+        # 2·sub_k score tiles.
         s = []
-        for h in (0, 1):
-            sl = slice(64 * h, 64 * (h + 1))
-            sh = jax.lax.dot_general(
-                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if add_bias:
-                sh = sh + kb_ref[0]                # (1, bk), pre-scaled
-            s.append(sh)
-        for h, (m_scr, l_scr, acc_scr) in enumerate(heads):
-            m_prev = m_scr[:, :1]
-            l_prev = l_scr[:, :1]
-            m_new = jnp.maximum(m_prev,
-                                jnp.max(s[h], axis=-1, keepdims=True))
-            # Fully-masked-so-far guard (see flash_attention.py _kernel).
-            safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
-            p = jnp.exp2(s[h] - safe_m)
-            alpha = jnp.exp2(m_prev - safe_m)
-            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-            l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
-            sl = slice(64 * h, 64 * (h + 1))
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        for sub in range(nsub):
+            row = slice(sub * bki, (sub + 1) * bki)
+            for h in (0, 1):
+                sl = slice(64 * h, 64 * (h + 1))
+                sh = jax.lax.dot_general(
+                    q[:, sl], k[row, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if add_bias:
+                    sh = sh + kb_ref[0][:, row]    # (1, bki), pre-scaled
+                s.append(sh)
+        for sub in range(nsub):
+            row = slice(sub * bki, (sub + 1) * bki)
+            for h, (m_scr, l_scr, acc_scr) in enumerate(heads):
+                sh = s[sub * 2 + h]
+                m_prev = m_scr[:, :1]
+                l_prev = l_scr[:, :1]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(sh, axis=-1, keepdims=True))
+                # Fully-masked-so-far guard (flash_attention.py _kernel).
+                safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
+                p = jnp.exp2(sh - safe_m)
+                alpha = jnp.exp2(m_prev - safe_m)
+                l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+                l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+                sl = slice(64 * h, 64 * (h + 1))
+                acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+                    p.astype(v.dtype), v[row, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
     if kbias:
         # Validity-aware tile skip: a key block whose bias row is all
@@ -324,7 +333,8 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
 
 
 def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
-               block_q: int = 1536, block_k: int = 1536):
+               block_q: int = 1536, block_k: int = 1536,
+               sub_k: int = 1):
     """Block defaults measured on chip (tools/ab_cross_blocks.py, r5
     sweep with the raised in-kernel VMEM limit): at the 50-view render
     shape (38400 q × 12288 kv) bq=1536/bk=1536 runs 19.76 ms/call vs
@@ -350,7 +360,14 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
     # wins at the 6144/38400-q render shapes where it divides.
     bq = pick(Nq, [block_q, 1024, 512])
     bk = pick(Nk, [block_k, 1024, 768, 512])
-    Nqp, Nkp = _round_up(Nq, bq), _round_up(Nk, bk)
+    # sub_k > 1: fetch sub_k k-blocks per grid step and run their softmax
+    # chains back-to-back against pre-issued score matmuls (more MXU/VPU
+    # overlap windows per DMA).  Only engaged when it does not add
+    # padding; the fetched outer block is sub_k*bk wide.
+    if sub_k > 1 and _round_up(Nk, bk * sub_k) != _round_up(Nk, bk):
+        sub_k = 1
+    bko = bk * max(sub_k, 1)
+    Nqp, Nkp = _round_up(Nq, bq), _round_up(Nk, bko)
 
     kbias = kv_bias is not None or Nkp != Nk
     if kbias:
@@ -368,8 +385,8 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
     args = [q, k, v]
     in_specs = [
         pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, g % P)),
-        pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
-        pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
+        pl.BlockSpec((1, bko, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
+        pl.BlockSpec((1, bko, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
     ]
     if rope:
         def prep(t, n, mul=1.0):
@@ -386,15 +403,15 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         in_specs += [
             pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, 0)),
             pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, 0)),
-            pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, 0)),
-            pl.BlockSpec((1, bk, 128), lambda g, i, j, P=P: (g // P, j, 0)),
+            pl.BlockSpec((1, bko, 128), lambda g, i, j, P=P: (g // P, j, 0)),
+            pl.BlockSpec((1, bko, 128), lambda g, i, j, P=P: (g // P, j, 0)),
         ]
     if kbias:
         args.append(kb)
         in_specs.append(
-            pl.BlockSpec((1, 1, bk), lambda g, i, j, P=P: (g // P, 0, j)))
+            pl.BlockSpec((1, 1, bko), lambda g, i, j, P=P: (g // P, 0, j)))
 
-    nk_blocks = Nkp // bk
+    nk_blocks = Nkp // bko
 
     def kernel(*refs):
         idx = 3
@@ -411,7 +428,7 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         _cross_kernel(refs[0], refs[1], refs[2], qcos, qsin, kcos, ksin,
                       kb_ref, o_ref, q_scr, m0, l0, a0, m1, l1, a1,
                       scale=scale * _LOG2E, nk_blocks=nk_blocks,
-                      rope=rope, kbias=kbias)
+                      rope=rope, kbias=kbias, sub_k=sub_k, bk_in=bk)
 
     out = pl.pallas_call(
         kernel,
@@ -431,7 +448,8 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
             # scoped-VMEM cap at bq=1024, well inside v5e's physical
             # VMEM.  Sized from the tiles + double-buffered IO margin.
             vmem_limit_bytes=min(100 * 2**20,
-                                 6 * bq * bk * 4 + 16 * 2**20)),
+                                 (2 * max(sub_k, 1) + 4) * bq * bk * 4
+                                 + 16 * 2**20)),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * 2 * P * Nq * Nk * 64,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,

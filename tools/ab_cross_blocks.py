@@ -65,32 +65,40 @@ def main():
         rtt = time.perf_counter() - t0
 
         print(f"--- {name}: Nq={nq} Nk={nk} (RTT {rtt*1e3:.1f} ms)")
-        for bq, bk in [(512, 768), (512, 1536), (1024, 768), (1024, 1536),
-                       (512, 3072), (1024, 3072),
-                       (1536, 1536), (1024, 2048), (1536, 2048),
-                       # r5: the raised in-kernel vmem_limit_bytes makes
-                       # big blocks compile; per-grid-step exposed VPU
-                       # time shrinks with block area.
-                       (2048, 1536), (1536, 3072), (2048, 2048),
-                       (3072, 1536), (2048, 3072)]:
-            if bk > nk:
+        for cfgt in [(512, 768), (512, 1536), (1024, 768), (1024, 1536),
+                     (512, 3072), (1024, 3072),
+                     (1536, 1536), (1024, 2048), (1536, 2048),
+                     # r5: the raised in-kernel vmem_limit_bytes makes
+                     # big blocks compile; per-grid-step exposed VPU
+                     # time shrinks with block area.
+                     (2048, 1536), (1536, 3072), (2048, 2048),
+                     (3072, 1536), (2048, 3072),
+                     # r5b: in-kernel k sub-split — sub_k softmax chains
+                     # per fetched block against pre-issued matmuls.
+                     (1536, 1536, 2), (1536, 768, 2), (1536, 768, 4),
+                     (1024, 1536, 2), (1536, 1536, 4)]:
+            bq, bk = cfgt[0], cfgt[1]
+            sub = cfgt[2] if len(cfgt) > 2 else 1
+            if bk * sub > nk:
                 continue
             # ~4 live (bq, bk) f32 tiles must fit the raised VMEM budget
             if 6 * bq * bk * 4 + 16 * 2**20 > 110 * 2**20:
                 continue
 
-            def run(q, k, v, qtab, ktab, bias, bq=bq, bk=bk):
+            def run(q, k, v, qtab, ktab, bias, bq=bq, bk=bk, sub=sub):
                 out = q
                 for _ in range(REPS):
                     out = _cross_fwd(out, k, v, qtab, ktab, bias,
-                                     64 ** -0.5, block_q=bq, block_k=bk)
+                                     64 ** -0.5, block_q=bq, block_k=bk,
+                                     sub_k=sub)
                 return out
 
             f = jax.jit(run)
             try:
                 np.asarray(f(q, k, v, qtab, ktab, bias)[0, 0, :2])
             except Exception as e:
-                print(f"bq={bq:5d} bk={bk:5d}  FAILED: {str(e)[:80]}")
+                print(f"bq={bq:5d} bk={bk:5d} sub={sub}  FAILED: "
+                      f"{str(e)[:80]}")
                 continue
             best = np.inf
             for _ in range(3):
@@ -99,7 +107,7 @@ def main():
                 np.asarray(out[0, 0, :2])
                 best = min(best, time.perf_counter() - t0)
             per = (best - rtt) / REPS * 1e3
-            print(f"bq={bq:5d} bk={bk:5d}  {per:6.3f} ms/call")
+            print(f"bq={bq:5d} bk={bk:5d} sub={sub}  {per:6.3f} ms/call")
 
 
 if __name__ == "__main__":

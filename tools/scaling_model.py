@@ -31,6 +31,9 @@ LONG_V, LONG_KF = 50, 16
 # Long-memory stage split (xplane + residual):
 LONG_TOWERS = 456.0          # encoder 256 + DINO 200  (per-view work)
 LONG_XATTN = 243.0           # 20.3 ms/call x 12 layers (38400q x 12288kv)
+                             # r5 kernel: 19.76 ms/call — the table keeps
+                             # the r4 xplane split it was derived from;
+                             # the delta (~6 ms/scene) shifts no verdicts
 LONG_RENDER_OTHER = 323.0 - LONG_XATTN   # proj/mlp/self-attn (per-view)
 LONG_PANFUSE = 187.0         # panoptic decode + fusion (est: 30 ms for 8
                              # views in the 8v serve split, x50/8)
