@@ -234,3 +234,36 @@ def test_tower_cross_block_skip_exact(rng):
                      None, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_tower_cross_sub_k_matches(rng):
+    """The in-kernel k sub-split (sub_k > 1) is bit-equivalent to the
+    default single-chain path for every sub_k, with and without a
+    validity bias (r5 measured lever, kept as an option)."""
+    from panst3r_tpu.ops.pallas.tower_attention import _cross_fwd, _cross_ref
+    from panst3r_tpu.ops.rope import rope2d_tables
+
+    B, Nq, Nk, C = 1, 256, 1536, 128
+    q = jnp.asarray(rng.standard_normal((B, Nq, C)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Nk, C)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Nk, C)), jnp.float32)
+
+    def tabs(n):
+        pos = np.stack(np.meshgrid(np.arange(n // 32), np.arange(32),
+                                   indexing="ij"), -1).reshape(-1, 2)
+        return rope2d_tables(jnp.asarray(np.tile(pos, (B, 1, 1))[:, :n]), 64)
+
+    neg = float(np.finfo(np.float32).min)
+    bias = np.zeros((B, Nk), np.float32)
+    bias[:, Nk // 2:] = neg                 # half invalid
+    bias[:, 200:360] = -0.4                 # soft-biased span
+    scale = 64 ** -0.5
+    for kv_bias in (None, jnp.asarray(bias)):
+        ref = _cross_ref(q, k, v, tabs(Nq), tabs(Nk), kv_bias, scale)
+        for sub in (1, 2, 4):
+            with pltpu.force_tpu_interpret_mode():
+                out = _cross_fwd(q, k, v, tabs(Nq), tabs(Nk), kv_bias,
+                                 scale, block_q=256, block_k=384,
+                                 sub_k=sub)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=3e-5, atol=3e-5)
