@@ -309,6 +309,13 @@ def main():
         n_long = 4
         scenes_l = [np.ascontiguousarray(np.roll(imgs_l, s + 1, axis=0))
                     for s in range(n_long)]
+        # BENCH_LONG_YUV=1: packed YUV420 input wire (ops/image.py) —
+        # halves the 29.4 MB/scene upload of this regime (the wall is
+        # link-arrival-bound; chroma-lossy, opt-in).
+        if os.environ.get("BENCH_LONG_YUV") == "1":
+            from panst3r_tpu.ops.image import rgb_to_yuv420
+            imgs_l = rgb_to_yuv420(imgs_l)
+            scenes_l = [rgb_to_yuv420(s) for s in scenes_l]
         lkw = dict(num_keyframes=longk, fusion_res="hybrid")
         np.asarray(engine.serve_device(imgs_l, port_l, cls_dev, **lkw))
         passes = []

