@@ -277,6 +277,36 @@ def main():
     # link-bound to compute-bound on the ~30 MB/s tunnel.
     hyb_fps = throughput_loop("hybrid", fusion_res="hybrid")
 
+    # --- Hybrid wire + packed-YUV420 input (serving default on slow
+    # links): rgb_to_yuv420 halves the 4.7 MB/scene upload; the decode
+    # runs on device inside the serve program and is bit-exact with
+    # uploading the decoded uint8 RGB (test_serve.py).  The pipelined
+    # loop is upload-arrival-bound, so this is the biggest single wall
+    # lever: 27.4 -> 51.6 fps in the same window (tools/ab_yuv_hybrid.py,
+    # r5) and far less congestion-sensitive.
+    from panst3r_tpu.ops.image import rgb_to_yuv420
+    scenes_yuv = [rgb_to_yuv420(s) for s in scenes]
+    images_yuv = rgb_to_yuv420(images)
+
+    def yuv_loop(label, **serve_kw):
+        wire = engine.serve_device(images_yuv, portrait, cls_emb,
+                                   **serve_kw)
+        np.asarray(wire)
+        passes = []
+        for _ in range(loops):
+            t0 = time.perf_counter()
+            n_out = 0
+            for res in engine.serve_stream(scenes_yuv, port_dev, cls_dev,
+                                           **serve_kw):
+                assert res["pan"].shape[0] == V
+                n_out += 1
+            assert n_out == nthr
+            passes.append(nthr * V / (time.perf_counter() - t0))
+        medians[label] = float(np.median(passes))
+        return max(passes)
+
+    hyb_yuv_fps = yuv_loop("hybrid_yuv", fusion_res="hybrid")
+
     # --- Device truth (VERDICT r4 #1): xplane-measured device ms/scene
     # of the hybrid serve program — the number a congested window cannot
     # touch.  Wall fps stays the headline; this field is the floor under
@@ -312,10 +342,11 @@ def main():
         # BENCH_LONG_YUV=1: packed YUV420 input wire (ops/image.py) —
         # halves the 29.4 MB/scene upload of this regime (the wall is
         # link-arrival-bound; chroma-lossy, opt-in).
-        if os.environ.get("BENCH_LONG_YUV") == "1":
-            from panst3r_tpu.ops.image import rgb_to_yuv420
+        long_wire = "rgb"
+        if os.environ.get("BENCH_LONG_YUV", "1") != "0":
             imgs_l = rgb_to_yuv420(imgs_l)
             scenes_l = [rgb_to_yuv420(s) for s in scenes_l]
+            long_wire = "yuv420"
         lkw = dict(num_keyframes=longk, fusion_res="hybrid")
         np.asarray(engine.serve_device(imgs_l, port_l, cls_dev, **lkw))
         passes = []
@@ -344,13 +375,15 @@ def main():
         mfu_lat = fl * lat_fps / V / (peak_tf * 1e12)
         mfu_thr = fl * thr_fps / V / (peak_tf * 1e12)
         mfu_hyb = fl * hyb_fps / V / (peak_tf * 1e12)
+        mfu_yuv = fl * hyb_yuv_fps / V / (peak_tf * 1e12)
         many_s = (f"  batched[{many}]={many_fps:.2f} fps "
                   f"(MFU {100 * fl * many_fps / V / (peak_tf * 1e12):.1f}%)"
                   if many_fps else "")
         print(f"# flops/scene={fl/1e12:.2f} TF  latency={lat_fps:.2f} fps "
               f"(MFU {100*mfu_lat:.1f}%)  throughput={thr_fps:.2f} fps "
               f"(MFU {100*mfu_thr:.1f}%)  hybrid-wire={hyb_fps:.2f} fps "
-              f"(MFU {100*mfu_hyb:.1f}%)  halfres-wire={halfres_fps:.2f} fps"
+              f"(MFU {100*mfu_hyb:.1f}%)  hybrid-yuv={hyb_yuv_fps:.2f} fps "
+              f"(MFU {100*mfu_yuv:.1f}%)  halfres-wire={halfres_fps:.2f} fps"
               f"{many_s}",
               file=sys.stderr)
     except Exception as e:  # cost model is best-effort
@@ -377,7 +410,8 @@ def main():
     print(f"# link (post): {link_post}", file=sys.stderr)
 
     modes = {"latency": lat_fps, "throughput_pipelined": thr_fps,
-             "throughput_hybrid_wire": hyb_fps}
+             "throughput_hybrid_wire": hyb_fps,
+             "throughput_hybrid_yuv": hyb_yuv_fps}
     if many_fps:
         modes[f"batched[{many}]"] = many_fps
     mode = max(modes, key=modes.get)
@@ -415,7 +449,8 @@ def main():
         "mode": mode,
         "median": round(medians.get(
             {"throughput_pipelined": "throughput",
-             "throughput_hybrid_wire": "hybrid"}.get(mode, mode),
+             "throughput_hybrid_wire": "hybrid",
+             "throughput_hybrid_yuv": "hybrid_yuv"}.get(mode, mode),
             modes[mode]), 3),
         "congested": congested,
         "link": {"pre": link_pre, "post": link_post},
@@ -436,7 +471,7 @@ def main():
         out["device"] = dev
     if long_fps:
         out["long_context"] = {
-            "views": longv, "keyframes": longk,
+            "views": longv, "keyframes": longk, "input_wire": long_wire,
             "fps": round(long_fps, 3), "median": round(long_med, 3),
             **({"mfu": round(long_mfu, 4)} if long_mfu else {}),
             **({"device_ms_per_scene": round(long_dev_ms, 1),

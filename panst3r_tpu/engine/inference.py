@@ -55,7 +55,11 @@ def _image_cast(x, amp: bool):
     if x.dtype == jnp.uint8 and x.ndim == 3 and x.shape[-1] != 3:
         from panst3r_tpu.ops.image import yuv420_to_rgb
 
-        rgb = yuv420_to_rgb(x)
+        # rint → the packed wire is EXACTLY "decode to uint8 RGB, then
+        # the normal uint8 path": serve(pack(x)) ≡ serve(decode(pack(x)))
+        # bit-for-bit, and every serve path (one-program, latency,
+        # stream) agrees on the same decoded pixels.
+        rgb = jnp.rint(yuv420_to_rgb(x))
         return (rgb / 127.5 - 1.0).astype(dtype)
     if x.dtype == jnp.uint8:
         return x.astype(dtype) / 127.5 - 1.0
@@ -93,6 +97,13 @@ class InferenceEngine:
                 self.params)
         self._fused_cache: dict = {}
         self._serve_cache: dict = {}
+        # Packed-YUV420 chunk decode for the latency paths: the chunk
+        # uploads ship half the bytes and decode to uint8 RGB on device
+        # (exactly the pixels _image_cast's in-program decode produces),
+        # so the tail/tower programs see ordinary (n, H, W, 3) uint8.
+        from panst3r_tpu.ops.image import yuv420_to_rgb
+        self._yuv_decode_jit = jax.jit(
+            lambda p: jnp.rint(yuv420_to_rgb(p)).astype(jnp.uint8))
         self._build_stage_fns()
 
     def _build_stage_fns(self):
@@ -745,8 +756,11 @@ class InferenceEngine:
                 jnp.asarray(port_ord[:K])[None], cls_emb)
             return mem, pm_kf, panout_kf
 
+        packed = images_ord.ndim == 3 and images_ord.shape[-1] != 3
         for s in range(0, V, chunk):
             img = jnp.asarray(images_ord[s:s + chunk])
+            if packed:           # half-size upload, decode on device
+                img = self._yuv_decode_jit(img)
             n = img.shape[0]
             x, pos = self._encode_batch(self.params, img, n)
             dino = self._dino_batch(self.params, img, n)
@@ -802,8 +816,12 @@ class InferenceEngine:
         if self.amp:
             cls_emb = cls_emb.astype(jnp.bfloat16)
         img_chunks, xs, poss, dinos = [], [], [], []
+        packed = (getattr(images, "ndim", 4) == 3
+                  and images.shape[-1] != 3)
         for s in range(0, V, chunk):
             img = jnp.asarray(images[s:s + chunk])   # async chunk upload
+            if packed:           # half-size upload, decode on device
+                img = self._yuv_decode_jit(img)
             n = img.shape[0]
             x, pos = self._encode_batch(self.params, img, n)
             dino = self._dino_batch(self.params, img, n)

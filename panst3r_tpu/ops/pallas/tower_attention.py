@@ -224,7 +224,7 @@ _tower_mha.defvjp(_tower_mha_fwd, _tower_mha_bwd)
 
 def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
                   ksin_ref, kb_ref, o_ref,
-                  q_scr, m0, l0, a0, m1, l1, a1, *,
+                  q_scr, m0, a0, m1, a1, *,
                   scale: float, nk_blocks: int, rope: bool, kbias: bool,
                   sub_k: int = 1, bk_in: int = 0):
     """Blocked cross-attention over the token memory: lane-block head
@@ -238,6 +238,15 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
       (bq, 128) block) — no per-block (bq, bk) scale pass;
     - all score matmuls of a block issue before any softmax chain, so
       later MXU contractions overlap earlier VPU chains;
+    - the softmax row-sum rides the p·v contraction: v's 64 head lanes
+      are extended with ones to the 128-lane MXU tile the contraction
+      pads to anyway, so acc lanes 64+ accumulate l with the same alpha
+      rescale as the numerator — the separate (bq, bk) f32 sum pass and
+      the l-scratch update are gone from the chain (the MXU cost of a
+      64- vs 128-lane output tile is identical);
+    - p is cast to the v dtype (bf16 in serving) right at the exp2, so
+      numerator AND denominator use the same rounded p (the old chain
+      already fed bf16 p to the numerator but summed f32 p into l);
     - ``sub_k`` > 1 splits the fetched k block into sub-blocks whose
       softmax chains run back-to-back against the pre-issued matmuls —
       more overlap windows per DMA (the "two-stage k-tiling" lever)."""
@@ -245,9 +254,8 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
 
     @pl.when(ik == 0)
     def _init():
-        for m, l, a in ((m0, l0, a0), (m1, l1, a1)):
+        for m, a in ((m0, a0), (m1, a1)):
             m[...] = jnp.full_like(m, _NEG_INF)
-            l[...] = jnp.zeros_like(l)
             a[...] = jnp.zeros_like(a)
         if rope:
             # q tables arrive pre-multiplied by scale·log2(e) (host prep)
@@ -268,7 +276,7 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
             k = (kf * kcos_ref[0] + _rot2d_pair(kf)
                  * ksin_ref[0]).astype(k.dtype)
 
-        heads = ((m0, l0, a0), (m1, l1, a1))
+        heads = ((m0, a0), (m1, a1))
         nsub = max(sub_k, 1)
         bki = bk_in if bk_in else k.shape[0]
         # Every (sub, head) score matmul issues BEFORE any softmax chain
@@ -290,23 +298,24 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
                 s.append(sh)
         for sub in range(nsub):
             row = slice(sub * bki, (sub + 1) * bki)
-            for h, (m_scr, l_scr, acc_scr) in enumerate(heads):
+            for h, (m_scr, acc_scr) in enumerate(heads):
                 sh = s[sub * 2 + h]
                 m_prev = m_scr[:, :1]
-                l_prev = l_scr[:, :1]
                 m_new = jnp.maximum(m_prev,
                                     jnp.max(sh, axis=-1, keepdims=True))
                 # Fully-masked-so-far guard (flash_attention.py _kernel).
                 safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
-                p = jnp.exp2(sh - safe_m)
+                p = jnp.exp2(sh - safe_m).astype(v.dtype)
                 alpha = jnp.exp2(m_prev - safe_m)
-                l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
                 m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-                l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
                 sl = slice(64 * h, 64 * (h + 1))
+                # [v_h | 1]: acc lanes :64 accumulate the weighted
+                # values, lanes 64+ the row-sum l — one contraction.
+                vh = jnp.concatenate(
+                    [v[row, sl],
+                     jnp.ones((v[row].shape[0], 64), v.dtype)], axis=-1)
                 acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-                    p.astype(v.dtype), v[row, sl],
-                    (((1,), (0,)), ((), ())),
+                    p, vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
     if kbias:
@@ -325,10 +334,11 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
     @pl.when(ik == nk_blocks - 1)
     def _fin():
         outs = []
-        for m_scr, l_scr, acc_scr in ((m0, l0, a0), (m1, l1, a1)):
-            l = l_scr[:, :1]
+        for m_scr, acc_scr in ((m0, a0), (m1, a1)):
+            acc = acc_scr[...]
+            l = acc[:, 64:65]                      # the ones-column sum
             l = jnp.where(l == 0.0, 1.0, l)        # fully-masked rows → 0
-            outs.append(acc_scr[...] / l)
+            outs.append(acc[:, :64] / l)
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -424,9 +434,9 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
             idx += 1
         o_ref = refs[idx]
         q_scr = refs[idx + 1]
-        m0, l0, a0, m1, l1, a1 = refs[idx + 2:idx + 8]
+        m0, a0, m1, a1 = refs[idx + 2:idx + 6]
         _cross_kernel(refs[0], refs[1], refs[2], qcos, qsin, kcos, ksin,
-                      kb_ref, o_ref, q_scr, m0, l0, a0, m1, l1, a1,
+                      kb_ref, o_ref, q_scr, m0, a0, m1, a1,
                       scale=scale * _LOG2E, nk_blocks=nk_blocks,
                       rope=rope, kbias=kbias, sub_k=sub_k, bk_in=bk)
 
@@ -437,10 +447,11 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         out_specs=pl.BlockSpec((1, bq, 128),
                                lambda g, i, j, P=P: (g // P, i, g % P)),
         out_shape=jax.ShapeDtypeStruct((B, Nqp, C), q.dtype),
+        # per head: m carry (bq, 128) + acc (bq, 128) — acc lanes 64+
+        # hold the l carry (same total scratch as the old m/l/acc trio).
         scratch_shapes=[pltpu.VMEM((bq, 128), q.dtype)] + [
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 64), jnp.float32)] * 2,
+            pltpu.VMEM((bq, 128), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # The interleaved-heads body keeps ~4 (bq, bk) f32 tiles live

@@ -367,3 +367,32 @@ def test_yuv420_roundtrip_and_serve_wire(rng):
                                          cls_emb))
     dec_c = eng.unpack_wire(wire_c, V)
     assert dec_c["pan"].shape == (V, H, W)
+
+
+def test_yuv420_decode_equivalence_and_latency(rng):
+    """The packed wire is EXACTLY "decode to uint8 RGB, then the normal
+    uint8 path" (inference.py _image_cast rint): serve(pack(x)) is
+    byte-identical to serve(decode(pack(x))) on arbitrary COLOR scenes,
+    and the chunk-uploading latency paths (which decode each packed chunk
+    on device, half-size uploads) produce the same wire as the
+    one-program serve."""
+    import jax.numpy as jnp
+
+    from panst3r_tpu.ops.image import rgb_to_yuv420, yuv420_to_rgb
+
+    eng = _engine(rng)
+    color = (rng.random((V, H, W, 3)) * 255).astype(np.uint8)
+    packed = rgb_to_yuv420(color)
+    portrait = np.zeros(V, bool)
+    cls_emb = rng.standard_normal((NCLS, 24)).astype(np.float32)
+
+    decoded = np.asarray(
+        jnp.rint(yuv420_to_rgb(jnp.asarray(packed))).astype(jnp.uint8))
+    w_pack = np.asarray(eng.serve_device(packed, portrait, cls_emb))
+    w_dec = np.asarray(eng.serve_device(decoded, portrait, cls_emb))
+    np.testing.assert_array_equal(w_pack, w_dec)
+
+    w_lat = np.asarray(eng.serve_latency_device(packed, portrait, cls_emb))
+    np.testing.assert_array_equal(w_lat, w_pack)
+    w_ovl = np.asarray(eng.serve_latency_overlap(packed, portrait, cls_emb))
+    np.testing.assert_array_equal(w_ovl, w_pack)
