@@ -116,24 +116,45 @@ class _SplitClsSelfAttention(nn.Module):
             out_p = tower_self_attention(
                 qkv_x, H, cls_kv=(qkv_c[..., C:2 * C], qkv_c[..., 2 * C:]))
 
+            # The cls row rides the MXU in the NATIVE (B, N, C) layout.
+            # Head-batched einsums/reductions here were measured
+            # materializing full f32 copies of k/v plus {1,2,0} layout
+            # round-trips inside the 24-layer scan (~40 ms per 50-view
+            # scene, r5 xplane).  Instead: embed the cls query as a
+            # block-diagonal (C, H) weight so the per-head scores are ONE
+            # bf16 matmul against the un-split k slice, and recover the
+            # output row from a (B,H,N)x(B,N,C) contraction's diagonal
+            # head blocks — 2·B·N·C·H extra MXU flops (~1.3 GF at the
+            # 50-view shape, negligible) and zero big-tensor relayouts.
             scale = D ** -0.5
+            f32 = jnp.float32
+            dt = qkv_x.dtype
             q_c = qkv_c[..., :C].reshape(B, H, D)
             k_c = qkv_c[..., C:2 * C].reshape(B, H, D)
             v_c = qkv_c[..., 2 * C:].reshape(B, H, D)
-            k_pat = qkv_x[..., C:2 * C].reshape(B, N, H, D)
-            v_pat = qkv_x[..., 2 * C:].reshape(B, N, H, D)
-            s_p = jnp.einsum("bhd,bnhd->bhn", q_c, k_pat,
-                             preferred_element_type=jnp.float32) * scale
-            s_cc = jnp.einsum("bhd,bhd->bh", q_c, k_c,
-                              preferred_element_type=jnp.float32)[..., None] \
-                * scale
-            m = jnp.maximum(s_p.max(-1, keepdims=True), s_cc)
-            e_p = jnp.exp(s_p - m)
-            e_c = jnp.exp(s_cc - m)
-            l = e_p.sum(-1, keepdims=True) + e_c
-            out_c = (jnp.einsum("bhn,bnhd->bhd", e_p,
-                                v_pat.astype(jnp.float32))
-                     + e_c * v_c.astype(jnp.float32)) / l
+            eye = jnp.eye(H, dtype=dt)
+            # W[b, h*D+d, h'] = q_c[b, h, d] * δ(h, h')
+            W = (q_c[:, :, :, None].astype(dt)
+                 * eye[None, :, None, :]).reshape(B, C, H)
+            s_p = jax.lax.dot_general(
+                qkv_x[..., C:2 * C], W, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32) * scale         # (B, N, H)
+            s_cc = (k_c.astype(f32)
+                    * q_c.astype(f32)).sum(-1) * scale      # (B, H)
+            m = jnp.maximum(s_p.max(1), s_cc)               # (B, H)
+            e_p = jnp.exp(s_p - m[:, None])                 # (B, N, H) f32
+            e_c = jnp.exp(s_cc - m)                         # (B, H)
+            l = e_p.sum(1) + e_c                            # (B, H)
+            # (B, H, N) x (B, N, C) -> (B, H, C); head h's value block is
+            # the (h, h) diagonal of its (H, D) column grouping.
+            out_full = jax.lax.dot_general(
+                e_p.transpose(0, 2, 1).astype(dt), qkv_x[..., 2 * C:],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)                 # (B, H, C)
+            out_diag = (out_full.reshape(B, H, H, D)
+                        * eye[None, :, :, None].astype(f32)).sum(2)
+            out_c = (out_diag + e_c[..., None] * v_c.astype(f32)) \
+                / l[..., None]                              # (B, H, D)
             out_c = out_c.reshape(B, 1, C).astype(out_p.dtype)
             return proj(out_p), proj(out_c)
 
