@@ -37,11 +37,23 @@ def gelu_exact(x):
     """Exact (erf) GELU — torch ``nn.GELU()``'s default, used by croco's
     `Mlp` and HF ViTs.  flax's ``nn.gelu`` defaults to the tanh
     approximation, which would break layerwise weight-port parity
-    (~1e-3/layer drift across a 24-block ViT).
+    (~1e-3/layer drift across a 24-block ViT) — f32/f64 (the port-parity
+    and training-golden paths) always use the stock erf lowering.
 
-    Half-precision inputs run ops/gelu.py fast_gelu — bit-identical to
-    erf-GELU for every bf16 value (exhaustively verified) at ~1/4 the VPU
-    cost of XLA's erf; f32/f64 keep the stock erf lowering."""
+    Half-precision (amp serving) uses the tanh form by default: its
+    maximum deviation from exact GELU is 4.7e-4, ~16x BELOW bf16's own
+    rounding of the exact output (7.8e-3 over the same range), so the
+    swap is sub-noise in bf16 — and it is nearly free on the VPU where
+    the exact forms are not (50-view tower MLP pair, r5 A/B: tanh
+    +0.07 ms/layer, bit-exact polynomial fast_gelu +1.20, XLA erf
+    +1.68; ~54 ms/scene across the two 24-layer towers).
+    ``PANST3R_EXACT_GELU=1`` restores ops/gelu.py fast_gelu — still
+    bit-identical to erf-GELU for every bf16 value at ~1/3 the cost of
+    XLA's erf — for bit-exactness against torch bf16 inference."""
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        import os
+        if os.environ.get("PANST3R_EXACT_GELU", "0") != "1":
+            return jax.nn.gelu(x, approximate=True)
     from panst3r_tpu.ops.gelu import fast_gelu
 
     return fast_gelu(x)
