@@ -97,16 +97,21 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, kc_ref, vc_ref, o_ref, *,
                          * kc.astype(jnp.float32), axis=-1,
                          keepdims=True) * scale    # (bn, 1)
             m = jnp.maximum(m, sc)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jax.lax.dot_general(p.astype(v.dtype), v[:, sl],
-                                  (((1,), (0,)), ((), ())),
+        # Row-sum rides the p·v contraction: [v_h | 1] fills the 128-lane
+        # MXU tile the 64-lane output pads to anyway, so acc lanes 64+
+        # hold l at identical MXU cost (see _cross_kernel; the separate
+        # (bn, bn) f32 sum pass is gone from the VPU chain).
+        p = jnp.exp2(s - m).astype(v.dtype)
+        vh = jnp.concatenate(
+            [v[:, sl], jnp.ones((v.shape[0], 64), v.dtype)], axis=-1)
+        acc = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if cls:
             pc = jnp.exp2(sc - m)                  # (bn, 1)
-            l = l + pc
-            acc = acc + pc * vc.astype(jnp.float32)
-        outs.append(acc / l)
+            acc = acc + pc * jnp.concatenate(
+                [vc, jnp.ones((1, 64), vc.dtype)],
+                axis=-1).astype(jnp.float32)
+        outs.append(acc[:, :64] / acc[:, 64:65])
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
