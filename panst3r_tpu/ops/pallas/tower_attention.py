@@ -40,6 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _LOG2E = float(np.log2(np.e))
+# int8-KV engages only at render-scale query counts (see _cross_fwd);
+# tests monkeypatch this to exercise the path at small shapes.
+_INT8_MIN_NQ = 16384
 
 
 def _round_up(x: int, m: int) -> int:
@@ -229,9 +232,9 @@ _tower_mha.defvjp(_tower_mha_fwd, _tower_mha_bwd)
 
 def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
                   ksin_ref, kb_ref, o_ref,
-                  q_scr, m0, a0, m1, a1, *,
+                  q_scr, c_scr, m0, a0, m1, a1, *,
                   scale: float, nk_blocks: int, rope: bool, kbias: bool,
-                  sub_k: int = 1, bk_in: int = 0):
+                  sub_k: int = 1, bk_in: int = 0, int8: bool = False):
     """Blocked cross-attention over the token memory: lane-block head
     pairs (transpose-free), online softmax across k blocks, optional
     per-key additive bias (memory validity) and RoPE tables.
@@ -254,7 +257,16 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
       already fed bf16 p to the numerator but summed f32 p into l);
     - ``sub_k`` > 1 splits the fetched k block into sub-blocks whose
       softmax chains run back-to-back against the pre-issued matmuls —
-      more overlap windows per DMA (the "two-stage k-tiling" lever)."""
+      more overlap windows per DMA (the "two-stage k-tiling" lever);
+    - ``int8`` (opt-in serving precision, PANST3R_KV_INT8=1): k arrives
+      PRE-ROTATED and per-tensor-quantized to int8 (σk folded into the
+      pre-scaled q tables by the caller); the rotated scaled q is
+      per-row-quantized here at init (q8 + a (bq, 1) scale carry), the
+      score matmul runs int8×int8→int32 on the MXU (measured 1.92× the
+      bf16 d=64 throughput on v5e), and the row scale folds into the
+      exp2 pass via the softmax stabilizer — any m ≥ rowmax is a valid
+      stabilizer, so m tracks c·rowmax(S_raw) even under the additive
+      validity bias (which only lowers masked columns)."""
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -262,7 +274,17 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
         for m, a in ((m0, a0), (m1, a1)):
             m[...] = jnp.full_like(m, _NEG_INF)
             a[...] = jnp.zeros_like(a)
-        if rope:
+        if int8:
+            # q tables carry scale·log2e·σk: the quantized product
+            # c_row·(q8·k8) reproduces the scaled rotated scores.
+            qf = q_ref[0].astype(jnp.float32)
+            qrot = qf * qcos_ref[0] + _rot2d_pair(qf) * qsin_ref[0]
+            amax = jnp.maximum(jnp.max(jnp.abs(qrot), axis=-1,
+                                       keepdims=True), 1e-20)
+            q_scr[...] = jnp.round(qrot * (127.0 / amax)).astype(jnp.int8)
+            c_scr[...] = jnp.broadcast_to(amax * (1.0 / 127.0),
+                                          c_scr.shape)
+        elif rope:
             # q tables arrive pre-multiplied by scale·log2(e) (host prep)
             # so the scaled, rotated q costs nothing extra here.
             qf = q_ref[0].astype(jnp.float32)
@@ -276,7 +298,7 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
         q = q_scr[...]                             # (bq, 128)
         k = k_ref[0]                               # (sub_k·bk_in, 128)
         v = v_ref[0]
-        if rope:
+        if rope and not int8:                      # int8 k is pre-rotated
             kf = k.astype(jnp.float32)
             k = (kf * kcos_ref[0] + _rot2d_pair(kf)
                  * ksin_ref[0]).astype(k.dtype)
@@ -295,22 +317,41 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
             row = slice(sub * bki, (sub + 1) * bki)
             for h in (0, 1):
                 sl = slice(64 * h, 64 * (h + 1))
-                sh = jax.lax.dot_general(
-                    q[:, sl], k[row, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                if add_bias:
-                    sh = sh + kb_ref[0][:, row]    # (1, bki), pre-scaled
+                if int8:
+                    # raw int32 scores; scale/bias fold into the exp2
+                    # pass below (c_row > 0 keeps max tracking monotone)
+                    sh = jax.lax.dot_general(
+                        q[:, sl], k[row, sl], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                else:
+                    sh = jax.lax.dot_general(
+                        q[:, sl], k[row, sl], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if add_bias:
+                        sh = sh + kb_ref[0][:, row]  # (1, bki), pre-scaled
                 s.append(sh)
         for sub in range(nsub):
             row = slice(sub * bki, (sub + 1) * bki)
             for h, (m_scr, acc_scr) in enumerate(heads):
                 sh = s[sub * 2 + h]
                 m_prev = m_scr[:, :1]
-                m_new = jnp.maximum(m_prev,
-                                    jnp.max(sh, axis=-1, keepdims=True))
-                # Fully-masked-so-far guard (flash_attention.py _kernel).
-                safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
-                p = jnp.exp2(sh - safe_m).astype(v.dtype)
+                if int8:
+                    c = c_scr[:, :1]
+                    m_new = jnp.maximum(
+                        m_prev, jnp.max(sh, axis=-1,
+                                        keepdims=True).astype(jnp.float32)
+                        * c)
+                    safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
+                    sf = sh.astype(jnp.float32) * c
+                    if add_bias:
+                        sf = sf + kb_ref[0][:, row]
+                    p = jnp.exp2(sf - safe_m).astype(v.dtype)
+                else:
+                    m_new = jnp.maximum(m_prev,
+                                        jnp.max(sh, axis=-1, keepdims=True))
+                    # Fully-masked-so-far guard (flash_attention.py).
+                    safe_m = jnp.where(m_new <= _NEG_INF / 2, 0.0, m_new)
+                    p = jnp.exp2(sh - safe_m).astype(v.dtype)
                 alpha = jnp.exp2(m_prev - safe_m)
                 m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
                 sl = slice(64 * h, 64 * (h + 1))
@@ -347,9 +388,21 @@ def _cross_kernel(q_ref, k_ref, v_ref, qcos_ref, qsin_ref, kcos_ref,
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def _rot2d_pair_nd(x):
+    """_rot2d_pair over a trailing 128-lane axis of any rank."""
+    parts = []
+    for base in (0, 64):
+        qd = 16
+        parts += [-x[..., base + qd:base + 2 * qd],
+                  x[..., base:base + qd],
+                  -x[..., base + 3 * qd:base + 4 * qd],
+                  x[..., base + 2 * qd:base + 3 * qd]]
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
                block_q: int = 1536, block_k: int = 1536,
-               sub_k: int = 1):
+               sub_k: int = 1, kv_int8: bool = False):
     """Block defaults measured on chip (tools/ab_cross_blocks.py, r5
     sweep with the raised in-kernel VMEM limit): at the 50-view render
     shape (38400 q × 12288 kv) bq=1536/bk=1536 runs 19.76 ms/call vs
@@ -403,6 +456,12 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         pl.BlockSpec((1, bko, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
         pl.BlockSpec((1, bko, 128), lambda g, i, j, P=P: (g // P, j, g % P)),
     ]
+    # int8 needs the table prep, and only pays where the per-call k
+    # rotate+quantize (∝ Nk·C) amortizes over the score work (∝ Nq·Nk):
+    # measured in-program, the 50-view render call (38400 q) nets
+    # −2.2 ms/layer while the membuild decoders (≤3072 q) nearly DOUBLE
+    # (prep dwarfs their kernels) — gate on Nq.
+    kv_int8 = kv_int8 and rope and Nq >= _INT8_MIN_NQ
     if rope:
         def prep(t, n, mul=1.0):
             t = jnp.tile(t.astype(jnp.float32) * mul, (1, 1, 2))
@@ -413,14 +472,40 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         # softmax): the scaled rotated q is built once in the kernel's
         # init step and no per-(bq, bk) scale pass exists at all.
         sa = scale * _LOG2E
-        args += [prep(qtab[0], Nqp, sa), prep(qtab[1], Nqp, sa),
-                 prep(ktab[0], Nkp), prep(ktab[1], Nkp)]
-        in_specs += [
-            pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, 0)),
-            pl.BlockSpec((1, bq, 128), lambda g, i, j, P=P: (g // P, i, 0)),
-            pl.BlockSpec((1, bko, 128), lambda g, i, j, P=P: (g // P, j, 0)),
-            pl.BlockSpec((1, bko, 128), lambda g, i, j, P=P: (g // P, j, 0)),
-        ]
+        if kv_int8:
+            # Pre-rotate k across all lane pairs with the shared pair
+            # table and quantize per-tensor to int8 (dynamic amax —
+            # computed once per call, amortized over Nqp/bq q-tiles);
+            # σk folds into the pre-scaled q tables so the kernel's
+            # per-row quantization scale carries the whole product.
+            kcos = prep(ktab[0], Nkp)[:, :, None]       # (B, Nkp, 1, 128)
+            ksin = prep(ktab[1], Nkp)[:, :, None]
+            kf = k.astype(jnp.float32).reshape(B, Nkp, P, 128)
+            kr = kf * kcos + _rot2d_pair_nd(kf) * ksin
+            sig_k = jnp.maximum(jnp.max(jnp.abs(kr)), 1e-20) / 127.0
+            args[1] = jnp.round(kr / sig_k).astype(jnp.int8) \
+                .reshape(B, Nkp, C)
+            args += [prep(qtab[0], Nqp, sa * sig_k),
+                     prep(qtab[1], Nqp, sa * sig_k)]
+            in_specs += [
+                pl.BlockSpec((1, bq, 128),
+                             lambda g, i, j, P=P: (g // P, i, 0)),
+                pl.BlockSpec((1, bq, 128),
+                             lambda g, i, j, P=P: (g // P, i, 0)),
+            ]
+        else:
+            args += [prep(qtab[0], Nqp, sa), prep(qtab[1], Nqp, sa),
+                     prep(ktab[0], Nkp), prep(ktab[1], Nkp)]
+            in_specs += [
+                pl.BlockSpec((1, bq, 128),
+                             lambda g, i, j, P=P: (g // P, i, 0)),
+                pl.BlockSpec((1, bq, 128),
+                             lambda g, i, j, P=P: (g // P, i, 0)),
+                pl.BlockSpec((1, bko, 128),
+                             lambda g, i, j, P=P: (g // P, j, 0)),
+                pl.BlockSpec((1, bko, 128),
+                             lambda g, i, j, P=P: (g // P, j, 0)),
+            ]
     if kbias:
         args.append(kb)
         in_specs.append(
@@ -432,18 +517,28 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         idx = 3
         qcos = qsin = kcos = ksin = kb_ref = None
         if rope:
-            qcos, qsin, kcos, ksin = refs[idx:idx + 4]
-            idx += 4
+            if kv_int8:
+                qcos, qsin = refs[idx:idx + 2]
+                idx += 2
+            else:
+                qcos, qsin, kcos, ksin = refs[idx:idx + 4]
+                idx += 4
         if kbias:
             kb_ref = refs[idx]
             idx += 1
         o_ref = refs[idx]
         q_scr = refs[idx + 1]
-        m0, a0, m1, a1 = refs[idx + 2:idx + 6]
+        if kv_int8:
+            c_scr = refs[idx + 2]
+            m0, a0, m1, a1 = refs[idx + 3:idx + 7]
+        else:
+            c_scr = None
+            m0, a0, m1, a1 = refs[idx + 2:idx + 6]
         _cross_kernel(refs[0], refs[1], refs[2], qcos, qsin, kcos, ksin,
-                      kb_ref, o_ref, q_scr, m0, a0, m1, a1,
+                      kb_ref, o_ref, q_scr, c_scr, m0, a0, m1, a1,
                       scale=scale * _LOG2E, nk_blocks=nk_blocks,
-                      rope=rope, kbias=kbias, sub_k=sub_k, bk_in=bk)
+                      rope=rope, kbias=kbias, sub_k=sub_k, bk_in=bk,
+                      int8=kv_int8)
 
     out = pl.pallas_call(
         kernel,
@@ -454,9 +549,13 @@ def _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
         out_shape=jax.ShapeDtypeStruct((B, Nqp, C), q.dtype),
         # per head: m carry (bq, 128) + acc (bq, 128) — acc lanes 64+
         # hold the l carry (same total scratch as the old m/l/acc trio).
-        scratch_shapes=[pltpu.VMEM((bq, 128), q.dtype)] + [
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32)] * 2,
+        # int8: q_scr holds the row-quantized q8; c_scr its (bq, 1)
+        # dequant scale broadcast to lanes.
+        scratch_shapes=[pltpu.VMEM((bq, 128),
+                                   jnp.int8 if kv_int8 else q.dtype)]
+        + ([pltpu.VMEM((bq, 128), jnp.float32)] if kv_int8 else [])
+        + [pltpu.VMEM((bq, 128), jnp.float32),
+           pltpu.VMEM((bq, 128), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # The interleaved-heads body keeps ~4 (bq, bk) f32 tiles live
@@ -490,17 +589,19 @@ def _cross_ref(q, k, v, qtab, ktab, kv_bias, scale):
     return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _tower_cross(q, k, v, qtab, ktab, kv_bias, scale):
-    return _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _tower_cross(q, k, v, qtab, ktab, kv_bias, scale, kv_int8=False):
+    return _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
+                      kv_int8=kv_int8)
 
 
-def _tower_cross_fwd(q, k, v, qtab, ktab, kv_bias, scale):
-    return _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale), \
+def _tower_cross_fwd(q, k, v, qtab, ktab, kv_bias, scale, kv_int8=False):
+    return _cross_fwd(q, k, v, qtab, ktab, kv_bias, scale,
+                      kv_int8=kv_int8), \
         (q, k, v, qtab, ktab, kv_bias)
 
 
-def _tower_cross_bwd(scale, res, g):
+def _tower_cross_bwd(scale, kv_int8, res, g):
     q, k, v, qtab, ktab, kv_bias = res
     _, vjp = jax.vjp(lambda q, k, v: _cross_ref(q, k, v, qtab, ktab,
                                                 kv_bias, scale), q, k, v)
@@ -513,17 +614,28 @@ _tower_cross.defvjp(_tower_cross_fwd, _tower_cross_bwd)
 
 
 def tower_cross_attention(q, k, v, qtab=None, ktab=None, kv_bias=None,
-                          scale=None):
+                          scale=None, kv_int8=None):
     """Transpose-free cross-attention: q/k/v are the PROJECTED (B, N, C)
     streams (no head split — heads live as 128-lane pair blocks), with
     optional (cos, sin) RoPE tables per side and a per-key additive bias
     (B, Nk) — the token-memory validity bias (models/decoder.py
     memory_mask_bias; reference engine/must3r.py:76 mem_labels).
-    Online softmax across key blocks: any memory length."""
+    Online softmax across key blocks: any memory length.
+
+    ``kv_int8`` (default: env PANST3R_KV_INT8=1; requires RoPE tables,
+    kv_bias ≤ 0): opt-in serving precision — the score matmul runs
+    int8×int8 on the MXU (k per-tensor dynamic-amax quantized after
+    pre-rotation, q per-row in-kernel; measured 1.92× the bf16 d=64
+    MXU throughput on v5e).  The softmax weights shift by the int8
+    quantization error (~1% relative); v/p stay bf16."""
     C = q.shape[-1]
     if scale is None:
         scale = 64 ** -0.5
-    return _tower_cross(q, k, v, qtab, ktab, kv_bias, scale)
+    if kv_int8 is None:
+        import os
+        kv_int8 = os.environ.get("PANST3R_KV_INT8", "0") == "1"
+    return _tower_cross(q, k, v, qtab, ktab, kv_bias, scale,
+                        bool(kv_int8 and qtab is not None))
 
 
 def supports_tower_attention(N: int, C: int, heads: int) -> bool:
