@@ -23,27 +23,29 @@ ICI_BW = 45e9                # bytes/s one-way per link (2D torus, 1 axis used)
 DCN_BW = 25e9                # bytes/s per host NIC (200 Gbps, assumption)
 CHIPS_PER_HOST = 8
 
-# ------------------------------------------------- measured (r4 xplane) ----
-# Serve, flagship v1, 512x384 bucket, hybrid wire (PERFORMANCE.md round 4).
-SERVE_8V_MS = 138.7          # 8 views / 4 keyframes, whole-scene program
-LONG_MS = 1103.0             # 50 views / 16 keyframes
+# ------------------------------------------------- measured (r5 xplane) ----
+# Serve, flagship v1, 512x384 bucket, hybrid wire (PERFORMANCE.md round 5:
+# after the MXU row-sum kernels, block-diagonal DINO cls row, tanh-GELU
+# amp default).
+SERVE_8V_MS = 117.1          # 8 views / 4 keyframes, whole-scene program
+LONG_MS = 918.6              # 50 views / 16 keyframes (bf16 default;
+                             # 892.2 with the opt-in int8-KV scores)
 LONG_V, LONG_KF = 50, 16
-# Long-memory stage split (xplane + residual):
-LONG_TOWERS = 456.0          # encoder 256 + DINO 200  (per-view work)
-LONG_XATTN = 243.0           # 20.3 ms/call x 12 layers (38400q x 12288kv)
-                             # r5 kernel: 19.76 ms/call — the table keeps
-                             # the r4 xplane split it was derived from;
-                             # the delta (~6 ms/scene) shifts no verdicts
-LONG_RENDER_OTHER = 323.0 - LONG_XATTN   # proj/mlp/self-attn (per-view)
-LONG_PANFUSE = 187.0         # panoptic decode + fusion (est: 30 ms for 8
-                             # views in the 8v serve split, x50/8)
+# Long-memory stage split (r5 xplane /tmp/serve50e: whiles / 3 reps):
+LONG_TOWERS = 351.1          # encoder 170.4 + DINO 180.7  (per-view work)
+LONG_XATTN = 211.1           # 17.6 ms/call x 12 layers (38400q x 12288kv)
+LONG_RENDER_OTHER = 66.6     # render scan minus its cross-attn calls
+LONG_PANFUSE = 130.0         # panoptic decode + fusion (residual split)
 LONG_WIRE = 17.0             # wire pack + quantize (est)
 LONG_MEMBUILD = LONG_MS - (LONG_TOWERS + LONG_XATTN + LONG_RENDER_OTHER
-                           + LONG_PANFUSE + LONG_WIRE)   # residual ~120
+                           + LONG_PANFUSE + LONG_WIRE)   # 15 update scans,
+                             # measured 142.6 ms of while-loops
 
-# Training, flagship v1, grid sampling, 256x512 bucket, B=1 V=3.
-STEP_MS = 69.0               # jit_step_fn device time
-STEP_TOWERS = 9.9 + 8.0 + 6.1 + 6.4   # DINO + enc + render + membuild (fwd)
+# Training, flagship v1, grid sampling, 256x512 bucket, B=1 V=3
+# (r5 re-measure with the tanh-GELU towers: 71 ms/step pipelined).
+STEP_MS = 71.0               # jit_step_fn device time
+STEP_TOWERS = 9.2 + 7.4 + 5.7 + 6.0   # DINO + enc + render + membuild (fwd,
+                             # r4 xplane scaled by the r5 tower speedup)
 STEP_HEAD = STEP_MS - STEP_TOWERS     # panoptic fwd+bwd + matcher + loss + opt
 
 # Model tensors.
