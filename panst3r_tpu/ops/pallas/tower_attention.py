@@ -79,7 +79,10 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, kc_ref, vc_ref, o_ref, *,
     if pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
 
-    outs = []
+    # Both heads' score matmuls issue BEFORE either softmax chain, so
+    # head 1's MXU contraction overlaps head 0's VPU chain (the same
+    # restructure as _cross_kernel).
+    ss = []
     for h in (0, 1):
         sl = slice(64 * h, 64 * (h + 1))
         # scale arrives pre-multiplied by log2(e): exp2-domain softmax
@@ -89,6 +92,11 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, kc_ref, vc_ref, o_ref, *,
                                 preferred_element_type=jnp.float32) * scale
         if pad:
             s = jnp.where(col < n_valid, s, _NEG_INF)
+        ss.append(s)
+    outs = []
+    for h in (0, 1):
+        sl = slice(64 * h, 64 * (h + 1))
+        s = ss[h]
         m = jnp.max(s, axis=-1, keepdims=True)     # (bn, 1)
         if cls:
             kc = kc_ref[0][:, sl]                  # (1, 64)
