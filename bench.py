@@ -348,12 +348,19 @@ def main():
             scenes_l = [rgb_to_yuv420(s) for s in scenes_l]
             long_wire = "yuv420"
         lkw = dict(num_keyframes=longk, fusion_res="hybrid")
+        # Deeper in-flight queue for long scenes: at 50 views each launch
+        # waits on a ~12 MB download RPC when only 2 scenes are in
+        # flight; measured same-window sweep qd=2/3/6 -> 19.1/26.2/32.4
+        # fps (launch-all-first measures 46.8 = the stream's ceiling).
+        # 6 in-flight wires = ~74 MB device memory, trivial on 16 GB.
+        lqd = int(os.environ.get("BENCH_LONG_QD", "6"))
         np.asarray(engine.serve_device(imgs_l, port_l, cls_dev, **lkw))
         passes = []
         for _ in range(loops):
             t0 = time.perf_counter()
             n_out = 0
-            for res in engine.serve_stream(scenes_l, port_l, cls_dev, **lkw):
+            for res in engine.serve_stream(scenes_l, port_l, cls_dev,
+                                           queue_depth=lqd, **lkw):
                 assert res["pan"].shape[0] == longv
                 n_out += 1
             assert n_out == n_long
