@@ -396,3 +396,23 @@ def test_yuv420_decode_equivalence_and_latency(rng):
     np.testing.assert_array_equal(w_lat, w_pack)
     w_ovl = np.asarray(eng.serve_latency_overlap(packed, portrait, cls_emb))
     np.testing.assert_array_equal(w_ovl, w_pack)
+
+
+def test_yuv420_serve_many_matches_single(rng):
+    """The vmapped multi-scene program accepts packed-YUV scenes
+    (rank-3 per example under vmap) and its wires match per-scene
+    serve_device byte-exactly."""
+    from panst3r_tpu.ops.image import rgb_to_yuv420
+
+    eng = _engine(rng)
+    images = (rng.random((V, H, W, 3)) * 255).astype(np.uint8)
+    scenes = np.stack([rgb_to_yuv420(images),
+                       rgb_to_yuv420(images[::-1].copy())])
+    portrait = np.zeros(V, bool)
+    ports = np.stack([portrait, portrait])
+    cls_emb = rng.standard_normal((NCLS, 24)).astype(np.float32)
+
+    wires = np.asarray(eng.serve_many_device(scenes, ports, cls_emb))
+    for s in range(2):
+        single = np.asarray(eng.serve_device(scenes[s], portrait, cls_emb))
+        np.testing.assert_array_equal(wires[s], single)
